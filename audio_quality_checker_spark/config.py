@@ -1,0 +1,91 @@
+"""CheckSuite — the engine's plan/config object.
+
+Heir of the reference's ``DetectionConfig`` (detector.rs:143-173) and
+``AnalyzerBuilder`` fluent setters (analyzer.rs:98-153): which checks run,
+their thresholds, and the global ``min_confidence`` filter
+(detector.rs:374-376).  Expensive checks default OFF, mirroring the
+reference's ``check_phase: false`` / ``check_mfcc: false`` defaults
+(detector.rs:161-173) — here the expensive ones are the extraction
+re-derivation sample and the exact-KS oracle.
+
+There is no query IR in the reference; the "plan" is this config struct
+and the "optimizer" is the set of ``if config.check_*`` gates
+(detector.rs:205,243,262,288).  The engine keeps that shape: the driver
+builds the DataFrame DAG conditionally from this dataclass, then Catalyst
+optimizes the declared plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class CheckSuite:
+    # ---- which checks run (detector.rs:145-152 analog) ----
+    check_column_stats: bool = True
+    check_uniqueness: bool = True
+    check_referential: bool = True
+    check_drift: bool = True
+    check_extraction: bool = True       # byte-identity text vs extractor(html)
+    # expensive / opt-in (analog of check_phase/check_mfcc defaults=false,
+    # detector.rs:161-173)
+    check_extraction_full: bool = False  # re-extract EVERY row, not a sample
+    check_exact_ks: bool = False         # exact KS oracle (sorts a sample)
+
+    # ---- thresholds (detector.rs:153-159 analog) ----
+    max_null_rate: float = 0.05          # per column
+    max_dup_rate: float = 0.02           # 1 - distinct(url)/count
+    max_unknown_host_rate: float = 0.01  # referential misses / rows
+    max_psi: float = 0.2                 # industry-standard PSI alert level
+    max_ks_stat: float = 0.15            # sup |CDF_a - CDF_b| on binned CDFs
+    max_extraction_mismatch_rate: float = 0.01
+    max_extraction_error_rate: float = 0.02
+    min_text_len_p50: float = 64.0       # median extracted-text length floor
+
+    # extraction re-derivation sample fraction (upsampling null-test analog,
+    # upsampling.rs:174-175 caps work at 5 s of audio; we cap at a seeded
+    # sample fraction)
+    extraction_sample_fraction: float = 0.10
+    extraction_sample_seed: int = 42
+
+    # ---- verdict assembly (detector.rs:360-376 analog) ----
+    min_confidence: float = 0.5          # final violation filter
+    pass_score_threshold: float = 0.7    # detector.rs:362-371
+    # penalty per violation type for the multiplicative score fold
+    # (detector.rs:744-772); types absent here default to `default_penalty`
+    # sized so one confirmed violation at the weakest reportable confidence
+    # (0.65) already sinks the score below the 0.7 pass gate:
+    # 1 - 0.5*0.65 = 0.675 — a partition fails on any violation that
+    # survives min_confidence, matching the qualification suite's hard-fail
+    # semantics (qualification_test.rs:101)
+    penalties: dict[str, float] = field(
+        default_factory=lambda: {
+            "NullRateExceeded": 0.50,
+            "LengthDistributionAnomaly": 0.50,
+            "UniquenessViolation": 0.55,
+            "ReferentialViolation": 0.50,
+            "DistributionDrift": 0.50,
+            "ExtractionMismatch": 0.60,
+            "ExtractionError": 0.50,
+            "SchemaViolation": 0.60,
+        }
+    )
+    default_penalty: float = 0.50
+    # violation types that fail a partition outright regardless of score
+    # (analog of the hard defect classes in detector.rs:362-371)
+    critical_types: tuple[str, ...] = ("ExtractionMismatch", "SchemaViolation")
+
+    def with_(self, **kwargs) -> "CheckSuite":
+        """Fluent override, the AnalyzerBuilder analog (analyzer.rs:98-153)."""
+        return replace(self, **kwargs)
+
+
+QUICK = CheckSuite(
+    check_drift=False,
+    check_extraction=False,
+)
+"""Quick mode: cheap structural checks only (main.rs:194-196 --quick analog)."""
+
+FULL = CheckSuite(check_extraction_full=True, check_exact_ks=True)
+"""Everything on, full-corpus extraction identity (regression-suite analog)."""

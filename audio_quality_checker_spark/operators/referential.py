@@ -1,0 +1,170 @@
+"""Referential-integrity check via a broadcast Bloom filter.
+
+Heir of the encoder-signature lookup (spectral.rs:492-541): score rows
+against a small trusted dimension.  At 10^12 rows a join against even a
+10M-host dimension per row is wasteful; a Bloom filter built once from the
+dimension and broadcast to every task turns membership into a vectorized
+in-memory probe with zero shuffle on the fact side.
+
+Spark's `bloom_filter_agg` SQL surface is not exposed in this build
+(probed: UNRESOLVED_ROUTINE), so the filter is a numpy bit array:
+ - build: mapInPandas over the dimension -> one byte-array per input
+   partition -> bitwise-OR merge (Bloom filters are trivially mergeable,
+   the same partial/final shape as every sketch in PAPERS.md)
+ - probe: pandas UDF, double hashing (Kirsch–Mitzenmacher, "Less Hashing,
+   Same Performance", ESA 2006) over splitmix64 — fully vectorized numpy.
+
+The exact oracle at test scale is `left_anti` join (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from audio_quality_checker_spark.config import CheckSuite
+from audio_quality_checker_spark.functions.hashing import hash64_str, splitmix64
+from audio_quality_checker_spark.operators.schema import (
+    graded_confidence,
+    violation_row,
+)
+
+_H2_SALT = np.uint64(0xA24BAED4963EE407)
+
+
+def _positions(h1: np.ndarray, n_hashes: int, m_bits: int) -> np.ndarray:
+    """(n, k) probe positions via double hashing; h2 forced odd."""
+    h2 = splitmix64(h1 ^ _H2_SALT) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+    return pos
+
+
+class BloomFilter:
+    """Fixed-size mergeable Bloom filter over strings."""
+
+    def __init__(self, m_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+        self.m_bits = m_bits
+        self.n_hashes = n_hashes
+        self.bits = (
+            bits if bits is not None else np.zeros(math.ceil(m_bits / 8), dtype=np.uint8)
+        )
+
+    @classmethod
+    def sized_for(cls, n_keys: int, fpp: float = 0.01) -> "BloomFilter":
+        m = max(64, int(-n_keys * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / max(1, n_keys) * math.log(2)))
+        return cls(m, k)
+
+    def add_many(self, values) -> None:
+        if len(values) == 0:
+            return
+        pos = _positions(hash64_str(values), self.n_hashes, self.m_bits).ravel()
+        np.bitwise_or.at(self.bits, (pos >> 3).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+    def contains_many(self, values) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _positions(hash64_str(values), self.n_hashes, self.m_bits)
+        byte = self.bits[(pos >> 3).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.m_bits, self.n_hashes) == (other.m_bits, other.n_hashes)
+        return BloomFilter(self.m_bits, self.n_hashes, self.bits | other.bits)
+
+
+def build_bloom(dim: DataFrame, key_col: str, fpp: float = 0.01) -> BloomFilter:
+    """Distributed build: one partial Bloom per input partition (mapInPandas),
+    OR-merged on the driver.  Partials are tiny (m/8 bytes) regardless of
+    dimension size, so the driver merge is O(partitions), not O(keys)."""
+    n_keys = dim.count()
+    proto = BloomFilter.sized_for(max(n_keys, 1), fpp)
+    m_bits, n_hashes = proto.m_bits, proto.n_hashes
+
+    def build(batches):
+        bf = BloomFilter(m_bits, n_hashes)
+        for pdf in batches:
+            vals = pdf[key_col].dropna().tolist()
+            bf.add_many(vals)
+        yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    partials = dim.select(key_col).mapInPandas(build, schema="bits binary").collect()
+    out = BloomFilter(m_bits, n_hashes)
+    for row in partials:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def with_membership(df: DataFrame, bloom: BloomFilter, col: str,
+                    out_col: str = "host_known") -> DataFrame:
+    """Vectorized probe column; the Bloom bytes ride the closure once per
+    executor (Spark broadcasts task binaries), never per row."""
+    m_bits, n_hashes, raw = bloom.m_bits, bloom.n_hashes, bloom.bits.tobytes()
+
+    @F.pandas_udf("boolean")
+    def probe(s: pd.Series) -> pd.Series:
+        bf = BloomFilter(m_bits, n_hashes, np.frombuffer(raw, dtype=np.uint8))
+        mask = s.notna().to_numpy()
+        out = np.zeros(len(s), dtype=bool)
+        vals = s[mask].tolist()
+        if vals:
+            out[mask] = bf.contains_many(vals)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, probe(F.col(col)))
+
+
+def referential_violations(
+    features: DataFrame, ref_hosts: DataFrame, suite: CheckSuite,
+    bloom: BloomFilter | None = None,
+) -> DataFrame:
+    """Unknown-host rate per partition via the Bloom probe.
+
+    A Bloom filter has false positives but NO false negatives, so every
+    reported miss is a true unknown host — the check errs toward false
+    negatives, matching the reference's bias (detector.rs:421).
+    """
+    bloom = bloom or build_bloom(ref_hosts, "host")
+    probed = with_membership(features, bloom, "host")
+    agg = probed.groupBy("p_day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("host").isNotNull() & ~F.col("host_known"), 1).otherwise(0)
+        ).alias("n_unknown"),
+    )
+    rate = F.col("n_unknown") / F.col("n_rows").cast("double")
+    return agg.select(
+        *violation_row(
+            F.col("p_day"),
+            "ReferentialViolation",
+            "url",
+            graded_confidence(rate, suite.max_unknown_host_rate),
+            F.format_string(
+                "unknown-host rate %.4f exceeds %.4f (%d of %d rows)",
+                rate,
+                F.lit(suite.max_unknown_host_rate),
+                F.col("n_unknown"),
+                F.col("n_rows"),
+            ),
+            {"unknown_rate": rate, "n_unknown": F.col("n_unknown")},
+        )
+    ).where(F.col("confidence") > 0)
+
+
+def unknown_hosts_exact(features: DataFrame, ref_hosts: DataFrame) -> DataFrame:
+    """Exact oracle: left_anti of observed hosts against the dimension
+    (SURVEY.md §2.7) — used by tests to bound the Bloom check."""
+    return (
+        features.select("p_day", "host")
+        .where(F.col("host").isNotNull())
+        .join(F.broadcast(ref_hosts.select("host")), "host", "left_anti")
+        .groupBy("p_day")
+        .agg(F.count(F.lit(1)).alias("n_unknown"))
+    )

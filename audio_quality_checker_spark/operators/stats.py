@@ -1,0 +1,121 @@
+"""Row-feature derivation + the single wide per-partition stats aggregation.
+
+The reference computes every per-file statistic by re-walking the sample
+buffer once per analysis module (spectral.rs, bit_depth.rs, true_peak.rs
+each re-scan `samples`).  At 100 TB a re-scan per check is the difference
+between one shuffle and eight, so the engine inverts that: ONE narrow
+projection derives all row-level features, then ONE groupBy(partition)
+computes every scalar statistic in a single partial+final hash
+aggregation — the `analyze_loudness` one-pass shape (true_peak.rs:143-164)
+generalized to the whole suite.  Checks are then cheap expressions over
+the tiny stats frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from audio_quality_checker_spark.sources.pages import LEN_BIN_EDGES, LEN_BIN_LABELS
+
+SHORT_TEXT_LEN = 200     # suspicious-short gate (TruncatedText detector)
+LONG_TEXT_LEN = 16384    # suspicious-long gate (PaddedText detector)
+
+
+def with_partition_key(df: DataFrame, col: str = "p_day") -> DataFrame:
+    """Ensure the crawl-day partition key exists (derive from warc_ts)."""
+    if col in df.columns:
+        return df
+    return df.withColumn(col, F.date_format("warc_ts", "yyyy-MM-dd"))
+
+
+def derive_row_features(df: DataFrame) -> DataFrame:
+    """Narrow projection adding every derived column the checks consume.
+
+    No shuffle, no Python: pure Catalyst expressions, fully inside
+    whole-stage codegen.  `host` via parse_url (url->host parsing, the
+    filename->genre dispatch analog, regression_genre_test.rs:257-289);
+    `len_bin` via a when-ladder over the fixed log-spaced edges.
+    """
+    df = with_partition_key(df)
+    text_len = F.when(F.col("text").isNull(), F.lit(None)).otherwise(
+        F.length("text")
+    )
+    len_bin = F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+    lo = LEN_BIN_EDGES[1:]
+    for edge, label in zip(lo, LEN_BIN_LABELS[:-1]):
+        len_bin = len_bin.when(text_len < edge, F.lit(label))
+    len_bin = len_bin.otherwise(F.lit(LEN_BIN_LABELS[-1]))
+    return (
+        df.withColumn("text_len", text_len)
+        .withColumn("len_bin", len_bin)
+        .withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .withColumn("lang_bin", F.coalesce(F.col("lang"), F.lit("__null__")))
+    )
+
+
+def partition_stats(features: DataFrame, exact: bool = False) -> DataFrame:
+    """One shuffle, every scalar statistic.
+
+    ``exact=False`` uses HyperLogLog++ (`approx_count_distinct`) for url
+    cardinality — the direct heir of the unique-values-ratio bit-depth
+    method (bit_depth.rs:199-250) and the north rule's uniqueness check.
+    ``exact=True`` is the small-scale oracle (`count_distinct`).
+    """
+    distinct_urls = (
+        F.count_distinct("url") if exact else F.approx_count_distinct("url", 0.01)
+    )
+    distinct_hosts = (
+        F.count_distinct("host") if exact else F.approx_count_distinct("host", 0.01)
+    )
+    cond = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return features.groupBy("p_day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        distinct_urls.alias("n_urls_distinct"),
+        distinct_hosts.alias("n_hosts_distinct"),
+        cond(F.col("url").isNull()).alias("url_nulls"),
+        cond(F.col("html").isNull()).alias("html_nulls"),
+        cond(F.col("text").isNull()).alias("text_nulls"),
+        cond(F.col("lang").isNull()).alias("lang_nulls"),
+        cond(F.col("warc_ts").isNull()).alias("warc_ts_nulls"),
+        # full-coverage undecodable-payload count, pure JVM
+        # (is_valid_utf8, Spark 4.0).  This makes the ExtractionError gate
+        # exact over ALL rows at zero Python cost — the corrupt-packet
+        # count (decoder.rs:138-143) without running the extractor.
+        cond(
+            F.col("html").isNotNull() & ~F.expr("is_valid_utf8(html)")
+        ).alias("n_html_bad_utf8"),
+        cond(F.col("text_len") < SHORT_TEXT_LEN).alias("n_short_text"),
+        cond(F.col("text_len") > LONG_TEXT_LEN).alias("n_long_text"),
+        F.min("text_len").alias("len_min"),
+        F.max("text_len").alias("len_max"),
+        F.avg("text_len").alias("len_avg"),
+        F.percentile_approx("text_len", [0.5, 0.95], 10_000).alias("len_p50_p95"),
+        F.max(F.length("html")).alias("html_len_max"),
+        F.min("warc_ts").alias("ts_min"),
+        F.max("warc_ts").alias("ts_max"),
+    ).select(
+        "*",
+        F.col("len_p50_p95")[0].alias("len_p50"),
+        F.col("len_p50_p95")[1].alias("len_p95"),
+    ).drop("len_p50_p95")
+
+
+def distribution_counts(features: DataFrame, column: str) -> DataFrame:
+    """(p_day, bin, count, total) for a categorical/binned column — the
+    distribution side of every drift check.  Two-level: partial counts
+    per task, final per (partition, bin); the window total avoids a second
+    scan of the raw rows."""
+    from pyspark.sql import Window as W
+
+    bin_col = {"lang": "lang_bin", "text_len": "len_bin"}[column]
+    counts = features.groupBy("p_day", F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    w = W.partitionBy("p_day")
+    return counts.select(
+        "p_day",
+        F.lit(column).alias("column_name"),
+        F.coalesce(F.col("bin"), F.lit("__null__")).alias("bin"),
+        "count",
+        F.sum("count").over(w).alias("total"),
+    )

@@ -1,0 +1,166 @@
+"""The full validation pipeline — ``detect_quality_issues`` re-imagined
+(detector.rs:176-413).
+
+The reference runs 8 analysis modules sequentially per file and
+accumulates defects; the engine declares the whole DAG lazily and lets
+Catalyst prune/pushdown, with two explicit physical decisions the
+optimizer cannot make for us (SURVEY.md §4):
+
+ 1. **Computation reuse**: the row-features projection feeds every check,
+    and the one-pass stats frame feeds three of them.  Spark does not
+    share subplans across actions, so both are persisted — the analog of
+    the spectral result being computed once and consumed by both
+    transcode and upsampling detection (detector.rs:183-187, 205-207).
+ 2. **Conditional plan construction**: disabled checks are simply never
+    added to the DAG (the `if config.check_*` gates, detector.rs:205-299).
+
+Shuffle inventory for the full pass (what survives at 100 TB):
+ - 1 wide shuffle: groupBy(p_day) stats            [partial+final hash agg]
+ - 2 narrow shuffles on pre-aggregated counts: lang/len histograms
+ - 1 narrow shuffle: extraction sample agg
+ - 1 narrow shuffle: referential agg
+ - violations/verdicts: bytes-sized frames, negligible
+The fact table is never joined row-level against anything — dimensions
+are Bloom-probed or broadcast (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from audio_quality_checker_spark.config import CheckSuite
+from audio_quality_checker_spark.operators.column_stats import (
+    column_stat_violations,
+    uniqueness_violations,
+)
+from audio_quality_checker_spark.operators.drift import drift_violations
+from audio_quality_checker_spark.operators.extraction_check import extraction_violations
+from audio_quality_checker_spark.operators.referential import referential_violations
+from audio_quality_checker_spark.operators.schema import empty_violations
+from audio_quality_checker_spark.operators.stats import (
+    derive_row_features,
+    distribution_counts,
+    partition_stats,
+)
+from audio_quality_checker_spark.operators.verdict import (
+    assemble_verdicts,
+    combine_violations,
+)
+
+
+@dataclass
+class ValidationResult:
+    stats: DataFrame
+    violations: DataFrame
+    verdicts: DataFrame
+
+    def unpersist(self) -> None:
+        for df in (self.stats, self.violations):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def tune_shuffle_partitions(spark: SparkSession, input_bytes: int,
+                            target_partition_bytes: int = 128 * 1024 * 1024) -> int:
+    """Size shuffle partitions from input bytes (SURVEY.md §4 #2).  AQE
+    coalesces down at runtime; this sets the ceiling so huge inputs don't
+    funnel through too few reducers."""
+    n = max(int(spark.sparkContext.defaultParallelism),
+            input_bytes // target_partition_bytes)
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    return int(n)
+
+
+def run_checks(
+    spark: SparkSession,
+    pages: DataFrame,
+    ref_hosts: DataFrame | None,
+    baseline: DataFrame | None,
+    suite: CheckSuite | None = None,
+    exact: bool = False,
+) -> ValidationResult:
+    """The engine's ``run_checks(df, suite) -> (results, violations)``
+    public surface (SURVEY.md §2.11).  ``exact=True`` switches HLL++ to
+    exact distinct counts (small-scale oracle mode)."""
+    suite = suite or CheckSuite()
+
+    features = derive_row_features(pages)
+    # Persisted once, consumed by stats + histograms + referential +
+    # extraction sample: the explicit computation-reuse the reference does
+    # with its spectral result (detector.rs:183-187).  MEMORY_AND_DISK so a
+    # 100 TB run degrades to disk instead of recomputing the scan 4x.
+    features.persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = partition_stats(features, exact=exact)
+    stats.persist(StorageLevel.MEMORY_AND_DISK)
+
+    frames = []
+    if suite.check_column_stats:
+        frames.append(column_stat_violations(stats, suite))
+    if suite.check_uniqueness:
+        frames.append(uniqueness_violations(stats, suite))
+    if suite.check_referential and ref_hosts is not None:
+        frames.append(referential_violations(features, ref_hosts, suite))
+    if suite.check_drift and baseline is not None:
+        lang_dist = distribution_counts(features, "lang")
+        len_dist = distribution_counts(features, "text_len")
+        frames.append(drift_violations(lang_dist.unionByName(len_dist), baseline, suite))
+    if suite.check_extraction:
+        frames.append(extraction_violations(features, stats, suite))
+
+    violations = (
+        combine_violations(frames, suite) if frames else empty_violations(spark)
+    )
+    violations.persist(StorageLevel.MEMORY_AND_DISK)
+    verdicts = assemble_verdicts(violations, stats, suite)
+    return ValidationResult(stats=stats, violations=violations, verdicts=verdicts)
+
+
+def validate(
+    spark: SparkSession,
+    pages_path: str,
+    ref_hosts_path: str | None = None,
+    baseline_path: str | None = None,
+    suite: CheckSuite | None = None,
+    results_root: str | None = None,
+) -> ValidationResult:
+    """One-call API (`validate(spark, table, config) -> VerdictReport`,
+    the `is_likely_lossless(path)` analog, lib.rs:51-54) reading from and
+    optionally writing to parquet tables.
+
+    Iceberg note: on a cluster with the Iceberg runtime these reads become
+    ``spark.read.format("iceberg").load("db.pages")`` and the writes
+    ``df.writeTo("db.validation_results").append()`` — the plan shape is
+    identical, parquet stands in because this container ships no Iceberg
+    jars (import-gated per the environment constraints).
+    """
+    pages = spark.read.parquet(pages_path)
+    ref_hosts = spark.read.parquet(ref_hosts_path) if ref_hosts_path else None
+    baseline = spark.read.parquet(baseline_path) if baseline_path else None
+    res = run_checks(spark, pages, ref_hosts, baseline, suite)
+    if results_root:
+        res.verdicts.write.mode("overwrite").parquet(f"{results_root}/verdicts")
+        res.violations.write.mode("overwrite").parquet(f"{results_root}/violations")
+        res.stats.write.mode("overwrite").parquet(f"{results_root}/stats")
+    return res
+
+
+def print_report(result: ValidationResult) -> str:
+    """Driver-side summary (console-sink analog, main.rs:247-327)."""
+    rows = result.verdicts.orderBy("partition_key").collect()
+    lines = []
+    for r in rows:
+        mark = "PASS" if r["passed"] else "FAIL"
+        lines.append(
+            f"{r['partition_key']}  {mark}  score={r['quality_score']:.4f} "
+            f"rows={r['n_rows']} violations={r['n_violations']} "
+            f"types={','.join(r['violation_types'])}"
+        )
+    report = "\n".join(lines)
+    print(report)
+    return report

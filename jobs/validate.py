@@ -1,0 +1,59 @@
+"""spark-submit entry point: validate a pages table end-to-end.
+
+    spark-submit --py-files aqcs.zip jobs/validate.py \
+        --pages /path/pages --ref-hosts /path/ref_hosts \
+        --baseline /path/baseline_snapshot --out /path/results [--quick]
+
+CLI analog of main.rs:31-124 (args -> config -> per-file loop -> report):
+args -> CheckSuite -> lazy DataFrame DAG -> one action -> report + sinks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="validate a pages table")
+    ap.add_argument("--pages", required=True, help="parquet path of the pages table")
+    ap.add_argument("--ref-hosts", default=None)
+    ap.add_argument("--baseline", default=None)
+    ap.add_argument("--out", default=None, help="results root (parquet)")
+    ap.add_argument("--quick", action="store_true", help="cheap structural checks only")
+    ap.add_argument("--full", action="store_true", help="re-extract every row")
+    ap.add_argument("--json", action="store_true", help="emit verdicts as JSON lines")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from audio_quality_checker_spark.config import FULL, QUICK, CheckSuite
+    from audio_quality_checker_spark.plans.validate import print_report, validate
+    from audio_quality_checker_spark.session import get_spark
+
+    suite = QUICK if args.quick else (FULL if args.full else CheckSuite())
+    spark = get_spark(app_name="aqcs-validate", cores=args.cores)
+    t0 = time.time()
+    res = validate(
+        spark,
+        pages_path=args.pages,
+        ref_hosts_path=args.ref_hosts,
+        baseline_path=args.baseline,
+        suite=suite,
+        results_root=args.out,
+    )
+    if args.json:
+        for r in res.verdicts.orderBy("partition_key").collect():
+            print(json.dumps(r.asDict(), default=str))
+    else:
+        print_report(res)
+    n = res.verdicts.agg({"n_rows": "sum"}).collect()[0][0] or 0
+    dt = time.time() - t0
+    print(f"-- validated {n} docs in {dt:.2f}s ({n / max(dt, 1e-9):.0f} docs/sec)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
