@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship per-source document quality gate on
+sf0.001; `queries()` / `oracle_sql()` expose every implemented operator
+(SURVEY.md §2) with value-matched DuckDB oracles.  Implementations live
+in audio_quality_checker_spark/entry_queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the validation engine's verdict shape applied to the
+    shared `documents` table — per-source column stats, lang-distribution
+    entropy, exact dup rate, and a penalty-scored pass/fail verdict
+    (the QualityReport analog, detector.rs:97-140)."""
+    from pyspark.sql import functions as F
+
+    from audio_quality_checker_spark.entry_queries import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    total = F.sum("c").over(W.partitionBy("source"))
+    entropy = counts.withColumn("p", F.col("c") / total).groupBy("source").agg(
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("lang_entropy")
+    )
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_distinct("text").alias("n_distinct_text"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("text_nulls"),
+    )
+    rep = stats.join(entropy, "source")
+    dup_rate = 1.0 - F.col("n_distinct_text") / F.col("n_rows")
+    null_rate = F.col("text_nulls") / F.col("n_rows")
+    score = F.round(
+        (1.0 - 0.5 * F.least(dup_rate * 10, F.lit(1.0)))
+        * (1.0 - 0.5 * F.least(null_rate * 10, F.lit(1.0))),
+        6,
+    )
+    return rep.select(
+        "source", "n_rows", "avg_chars", "min_chars", "max_chars",
+        "lang_entropy",
+        F.round(dup_rate, 6).alias("dup_rate"),
+        score.alias("quality_score"),
+        (score > 0.7).alias("passed"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from audio_quality_checker_spark.entry_queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from audio_quality_checker_spark.entry_queries import oracle_sql as _o
+
+    return _o()

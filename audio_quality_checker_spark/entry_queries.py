@@ -1,0 +1,727 @@
+"""Driver-contract queries: each entry re-expresses one operator family
+from SURVEY.md §2 over the shared testdata tables, with a value-matched
+DuckDB oracle in ORACLE_SQL.
+
+Column-name and rounding discipline: every computed column is aliased
+identically in the Spark plan and the oracle SQL, and every float is
+rounded in BOTH (the driver hashes values after sorting columns by name).
+Rounding decimals chosen so double-precision sum-order differences
+between engines vanish.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. column_stats — the one-pass multi-measure aggregation
+#    (analyze_loudness shape, true_peak.rs:143-164)
+# ---------------------------------------------------------------------------
+
+def q_column_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("text_nulls"),
+    )
+
+
+SQL_COLUMN_STATS = """
+SELECT source,
+       count(*) AS n_rows,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT lang) AS n_langs,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. length_histogram — log-spaced bucketed counts
+#    (trailing-zeros histogram analog, bit_depth.rs:125-141)
+# ---------------------------------------------------------------------------
+
+def _len_case():
+    return (
+        F.when(F.col("n_chars") < 100, "0-99")
+        .when(F.col("n_chars") < 200, "100-199")
+        .when(F.col("n_chars") < 400, "200-399")
+        .otherwise("400+")
+    )
+
+
+def q_length_histogram(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang", _len_case().alias("len_bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT lang,
+       CASE WHEN n_chars < 100 THEN '0-99'
+            WHEN n_chars < 200 THEN '100-199'
+            WHEN n_chars < 400 THEN '200-399'
+            ELSE '400+' END AS len_bin,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. uniqueness — exact distinct / dup-rate per group
+#    (unique-values-ratio method heir, bit_depth.rs:199-250)
+# ---------------------------------------------------------------------------
+
+def q_uniqueness(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("text").alias("n_distinct_text"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("text") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+SQL_UNIQUENESS = """
+SELECT source,
+       count(*) AS n_rows,
+       count(DISTINCT text) AS n_distinct_text,
+       round(1.0 - count(DISTINCT text) / count(*), 6) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. entropy — Shannon entropy of the lang distribution per source
+#    (LSB-distribution entropy heir, bit_depth.rs:361-431)
+# ---------------------------------------------------------------------------
+
+def q_entropy(spark, sf):
+    d = load(spark, sf, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").over(W.partitionBy("source"))
+    p = F.col("c") / total
+    return (
+        counts.withColumn("p", p)
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("lang_entropy"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+    )
+
+
+SQL_ENTROPY = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), withp AS (
+  SELECT source, c * 1.0 / sum(c) OVER (PARTITION BY source) AS p FROM counts
+)
+SELECT source,
+       round(-sum(p * log2(p)), 6) AS lang_entropy,
+       count(*) AS n_langs
+FROM withp GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. psi_lang — PSI of per-source lang distribution vs the global one
+#    (drift check; signature-match heir, spectral.rs:492-541)
+# ---------------------------------------------------------------------------
+
+def q_psi_lang(spark, sf):
+    d = load(spark, sf, "documents")
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    obs = obs.withColumn("o_total", F.sum("c").over(W.partitionBy("source")))
+    glob = d.groupBy("lang").agg(F.count(F.lit(1)).alias("g"))
+    glob = glob.withColumn("g_total", F.sum("g").over(W.partitionBy()))
+    nbins = glob.count()  # small literal, both engines agree
+    j = obs.join(F.broadcast(glob), "lang", "left")
+    p = (F.col("c") + 0.5) / (F.col("o_total") + 0.5 * nbins)
+    q = (F.col("g") + 0.5) / (F.col("g_total") + 0.5 * nbins)
+    return j.groupBy("source").agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi")
+    )
+
+
+SQL_PSI_LANG = """
+WITH obs AS (
+  SELECT source, lang, count(*) AS c,
+         sum(count(*)) OVER (PARTITION BY source) AS o_total
+  FROM documents GROUP BY source, lang
+), gdist AS (
+  SELECT lang, count(*) AS g, sum(count(*)) OVER () AS g_total
+  FROM documents GROUP BY lang
+), nb AS (SELECT count(*) AS n_bins FROM gdist)
+SELECT source,
+       round(sum(((c + 0.5) / (o_total + 0.5 * n_bins)
+                  - (g + 0.5) / (g_total + 0.5 * n_bins))
+                 * ln(((c + 0.5) / (o_total + 0.5 * n_bins))
+                      / ((g + 0.5) / (g_total + 0.5 * n_bins)))), 6) AS psi
+FROM obs LEFT JOIN gdist USING (lang) CROSS JOIN nb
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. referential — anti-join orphan detection (SURVEY.md §2.3/2.7)
+# ---------------------------------------------------------------------------
+
+def q_referential(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+SQL_REFERENTIAL = """
+SELECT c_mktsegment, count(*) AS n_customers_without_orders
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. quantiles — exact percentiles per group (median heir, dsp.rs:222-235;
+#    engine-side scale path is percentile_approx/KLL, exactness oracled here)
+# ---------------------------------------------------------------------------
+
+def q_quantiles(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("price_p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("price_p95"),
+        F.round(F.percentile("l_quantity", 0.1), 4).alias("qty_p10"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+       round(quantile_cont(l_quantity, 0.1), 4) AS qty_p10
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. tpch_q1 — the canonical multi-aggregate scan
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf):
+    li = load(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. topk_per_group — best-candidate ranking (row_number heir,
+#    upsampling.rs:384-387 / spectral.rs:532-538)
+# ---------------------------------------------------------------------------
+
+def q_topk_per_group(spark, sf):
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, o_orderkey,
+       round(o_totalprice, 2) AS totalprice, rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. moving_average — centered sliding window (dsp.rs:184-219)
+# ---------------------------------------------------------------------------
+
+def q_moving_average(spark, sf):
+    e = load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg_value"),
+    )
+
+
+SQL_MOVING_AVERAGE = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+         AS mavg_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. flux — rectified first difference, summed (spectral_flux heir,
+#     dsp.rs:503-517; lag-window + conditional aggregate)
+# ---------------------------------------------------------------------------
+
+def q_flux(spark, sf):
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = e.withColumn("d", F.col("value") - F.lag("value").over(w))
+    staged = staged.withColumn("prev_d", F.lag("d").over(w))
+    return staged.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0.0)), 6
+        ).alias("flux"),
+        F.sum(
+            F.when(
+                F.col("d").isNotNull()
+                & (F.signum("d") != F.signum("prev_d")),
+                1,
+            ).otherwise(0)
+        ).alias("n_sign_changes"),
+    )
+
+
+SQL_FLUX = """
+WITH diffs AS (
+  SELECT user_id, ts, event_id,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+), d2 AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_d
+  FROM diffs
+)
+SELECT user_id,
+       round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 6) AS flux,
+       sum(CASE WHEN d IS NOT NULL AND sign(d) != sign(prev_d)
+                THEN 1 ELSE 0 END) AS n_sign_changes
+FROM d2 GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. price_band_join — broadcast range/theta join against a tiny literal
+#     dimension (signature interval-containment heir, spectral.rs:492-541)
+# ---------------------------------------------------------------------------
+
+_BANDS = [("budget", 0.0, 925.0), ("mid", 925.0, 950.0),
+          ("premium", 950.0, 975.0), ("luxury", 975.0, 1e18)]
+
+
+def q_price_band_join(spark, sf):
+    p = load(spark, sf, "part")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+SQL_PRICE_BAND_JOIN = """
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part
+JOIN (VALUES ('budget', 0.0, 925.0), ('mid', 925.0, 950.0),
+             ('premium', 950.0, 975.0), ('luxury', 975.0, 1e18))
+     AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. cum_median_bucket — median-from-histogram via cumulative window
+#     (bit_depth.rs:183-195)
+# ---------------------------------------------------------------------------
+
+def q_cum_median_bucket(spark, sf):
+    d = load(spark, sf, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("long")
+    hist = d.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = W.partitionBy("lang").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wtot = W.partitionBy("lang")
+    h = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "total", F.sum("c").over(wtot)
+    )
+    return (
+        h.where(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("median_bucket"))
+    )
+
+
+SQL_CUM_MEDIAN_BUCKET = """
+WITH hist AS (
+  SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket,
+         sum(c) OVER (PARTITION BY lang ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM hist
+)
+SELECT lang, min(bucket) AS median_bucket
+FROM cum WHERE cum * 2 >= total GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. weighted_vote — confidence-weighted voting (vote_bit_depth heir,
+#     bit_depth.rs:434-457)
+# ---------------------------------------------------------------------------
+
+def q_weighted_vote(spark, sf):
+    d = load(spark, sf, "documents")
+    w = F.log(F.lit(1.0) + F.col("n_chars"))
+    v = F.when(F.col("n_chars") > 300, 1.0).otherwise(0.0)
+    return d.groupBy("source").agg(
+        F.round(F.sum(w * v) / F.sum(w), 6).alias("weighted_long_vote")
+    )
+
+
+SQL_WEIGHTED_VOTE = """
+SELECT source,
+       round(sum(ln(1.0 + n_chars) * (CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END))
+             / sum(ln(1.0 + n_chars)), 6) AS weighted_long_vote
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. window_tumbling — event-time tumbling-window aggregation
+#     (SURVEY.md §2.10: warc_ts windows as batch groupBy(window(...)))
+# ---------------------------------------------------------------------------
+
+def q_window_tumbling(spark, sf):
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. dedup_exact — content-hash exact dedup accounting
+#     (training-data op; md5 agreed across engines)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    d = load(spark, sf, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(h).alias("n_distinct_hash"),
+        (F.count(F.lit(1)) - F.count_distinct(h)).alias("n_exact_dups"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT source,
+       count(*) AS n_rows,
+       count(DISTINCT md5(lower(trim(text)))) AS n_distinct_hash,
+       count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. token_stats — tokenization + punctuation/stopword ratios per lang
+#     (training-data text-analysis op)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    nonword = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = nonword / F.length("text")
+    return d.groupBy("lang").agg(
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+        F.max(toks).alias("max_tokens"),
+        F.round(F.avg(punct_ratio), 6).alias("avg_punct_ratio"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_tokens,
+       max(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
+       round(avg(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 * 1.0 / length(text)), 6) AS avg_punct_ratio
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. lang_id — n-gram/stopword-heuristic language ID confusion matrix
+#     (training-data op; deliberately expression-only so it is oracle-able)
+# ---------------------------------------------------------------------------
+
+_STOPS = {"en": " the ", "de": " der ", "fr": " le ", "es": " el ", "zh": "的"}
+
+
+def q_lang_id(spark, sf):
+    d = load(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = {
+        lang: F.coalesce(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(tok), F.lit(""))))
+            / F.length(F.lit(tok)),
+            F.lit(0),
+        )
+        for lang, tok in _STOPS.items()
+    }
+    best = F.lit("unknown")
+    best_hits = F.lit(0.0)
+    for lang in sorted(_STOPS):  # deterministic tie-break: first alphabetical wins ties via strict >
+        best = F.when(hits[lang] > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(best_hits, hits[lang])
+    return (
+        d.withColumn("predicted_lang", best)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_hits(tok: str) -> str:
+    esc = tok.replace("'", "''")
+    return (
+        f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{esc}', '')))"
+        f" / length('{esc}')"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT lang,
+         {_sql_hits(_STOPS['de'])} AS h_de,
+         {_sql_hits(_STOPS['en'])} AS h_en,
+         {_sql_hits(_STOPS['es'])} AS h_es,
+         {_sql_hits(_STOPS['fr'])} AS h_fr,
+         {_sql_hits(_STOPS['zh'])} AS h_zh
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE
+           WHEN h_zh > greatest(h_de, h_en, h_es, h_fr, 0) THEN 'zh'
+           WHEN h_fr > greatest(h_de, h_en, h_es, 0) THEN 'fr'
+           WHEN h_es > greatest(h_de, h_en, 0) THEN 'es'
+           WHEN h_en > greatest(h_de, 0) THEN 'en'
+           WHEN h_de > 0 THEN 'de'
+           ELSE 'unknown'
+         END AS predicted_lang
+  FROM scored
+)
+SELECT lang, predicted_lang, count(*) AS n FROM pred GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. jaccard_pairs — token-set n-gram Jaccard near-dup candidates
+#     (training-data dedup op; exact pairwise at test scale — the LSH
+#     variant in operators/dedup.py is the scale path)
+# ---------------------------------------------------------------------------
+
+def q_jaccard_pairs(spark, sf):
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    union = F.size("a.toks") + F.size("b.toks") - inter
+    jac = inter / union
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).where(F.round(jac, 6) >= 0.5)
+
+
+SQL_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.t, b.t)) * 1.0
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.t, b.t)) * 1.0
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20. cosine_pairs — embedding near-dup candidates above a cosine threshold
+#     (training-data op; brute-force exact at test scale)
+# ---------------------------------------------------------------------------
+
+def q_cosine_pairs(spark, sf):
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.round(cos, 4).alias("cosine"),
+    ).where(F.round(cos, 4) >= 0.3)
+
+
+SQL_COSINE_PAIRS = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "column_stats": (q_column_stats, SQL_COLUMN_STATS),
+    "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "uniqueness": (q_uniqueness, SQL_UNIQUENESS),
+    "entropy": (q_entropy, SQL_ENTROPY),
+    "psi_lang": (q_psi_lang, SQL_PSI_LANG),
+    "referential": (q_referential, SQL_REFERENTIAL),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "moving_average": (q_moving_average, SQL_MOVING_AVERAGE),
+    "flux": (q_flux, SQL_FLUX),
+    "price_band_join": (q_price_band_join, SQL_PRICE_BAND_JOIN),
+    "cum_median_bucket": (q_cum_median_bucket, SQL_CUM_MEDIAN_BUCKET),
+    "weighted_vote": (q_weighted_vote, SQL_WEIGHTED_VOTE),
+    "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
