@@ -610,14 +610,20 @@ SELECT lang, predicted_lang, count(*) AS n FROM pred GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q_jaccard_pairs(spark, sf):
+    # blocking on (lang, length-bucket) bounds the pairwise stage — the
+    # candidate-blocking shape every scale dedup pipeline needs (near-dups
+    # have near-equal lengths); MinHash LSH in operators/dedup.py is the
+    # probabilistic blocking for content-level candidates.
     d = load(spark, sf, "documents").select(
         "doc_id", "lang",
+        F.floor(F.col("n_chars") / 100).alias("len_blk"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
     )
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_blk") == F.col("b.len_blk"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     inter = F.size(F.array_intersect("a.toks", "b.toks"))
@@ -632,13 +638,15 @@ def q_jaccard_pairs(spark, sf):
 
 SQL_JACCARD_PAIRS = """
 WITH toks AS (
-  SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_blk,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.t, b.t)) * 1.0
              / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) AS jaccard
-FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.len_blk = b.len_blk AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.t, b.t)) * 1.0
             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) >= 0.5
 """

@@ -1,0 +1,85 @@
+"""Driver bench harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect).  The headline metric is the wall-clock sum over the
+suite.  The separate two-parallelism scaling bench for the validation
+pass lives in scripts/bench_scaling.py and reports to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "column_stats",
+    "length_histogram",
+    "uniqueness",
+    "entropy",
+    "psi_lang",
+    "referential",
+    "quantiles",
+    "tpch_q1",
+    "topk_per_group",
+    "moving_average",
+    "flux",
+    "price_band_join",
+    "cum_median_bucket",
+    "weighted_vote",
+    "window_tumbling",
+    "dedup_exact",
+    "token_stats",
+    "lang_id",
+    "jaccard_pairs",
+    "cosine_pairs",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from audio_quality_checker_spark.entry_queries import REGISTRY
+    from audio_quality_checker_spark.session import get_spark
+
+    spark = get_spark(app_name="aqcs-bench", cores=cpus,
+                      shuffle_partitions=2 * cpus)
+
+    # warmup: JVM + python worker daemons, not counted
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
