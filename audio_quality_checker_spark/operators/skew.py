@@ -1,0 +1,66 @@
+"""Skew handling: salted aggregation for pathological hot keys.
+
+North rule: "salted repartitioning for skewed hosts".  AQE's skew-join
+splitting covers JOIN skew, but a groupBy over a host where one site owns
+40% of a crawl slice (the SkewHost fixture) still funnels that key's rows
+into one reducer.  Partial (map-side) aggregation usually absorbs it —
+Spark's hash agg combines locally before the shuffle — so salting is the
+EXPLICIT fallback for aggregations whose partial state is large (e.g.
+collect_list, exact distinct) or whose combine ratio is poor.
+
+Pattern: two-level aggregation.
+  stage 1: groupBy(key, salt = pmod(hash(row-unique), n_salts)) -> partial
+  stage 2: groupBy(key) -> merge partials
+Any algebraic aggregate (count/sum/min/max, and sketches: HLL, KLL,
+Bloom — the mergeability requirement again) composes this way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt",
+              unique_col: str | None = None) -> DataFrame:
+    """Deterministic salt in [0, n_salts): hash of a row-unique column
+    (falls back to monotonically_increasing_id for unkeyed rows — then the
+    salt is partition-stable, not resume-stable; pass a real unique column
+    for reproducible plans)."""
+    src = F.col(unique_col) if unique_col else F.monotonically_increasing_id()
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(src), F.lit(n_salts)))
+
+
+def salted_agg(df: DataFrame, key: str, aggs: dict[str, tuple],
+               n_salts: int = 16, unique_col: str | None = None) -> DataFrame:
+    """Two-level salted aggregation.
+
+    ``aggs`` maps output column -> (partial_fn, merge_fn), e.g.
+        {"n": (F.count, F.sum), "mx": (F.max, F.max),
+         "total": (F.sum, F.sum)}
+    where partial_fn is applied to the value column name given as
+    ``(fn, col)`` tuples: {"n": ((F.count, "url"), (F.sum,))}.
+
+    Simplified contract: partial_fn(col_expr) runs per (key, salt);
+    merge_fn(partial_col) runs per key.
+    """
+    salted = with_salt(df, n_salts, unique_col=unique_col)
+    partial_exprs = [
+        partial_fn.alias(out) for out, (partial_fn, _) in aggs.items()
+    ]
+    partials = salted.groupBy(key, "_salt").agg(*partial_exprs)
+    merge_exprs = [
+        merge_fn(out).alias(out) for out, (_, merge_fn) in aggs.items()
+    ]
+    return partials.groupBy(key).agg(*merge_exprs)
+
+
+def host_counts_salted(features: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-host row counts immune to a 40%-hot host: the SkewHost fixture's
+    exercise path.  count partials sum-merge."""
+    return salted_agg(
+        features.select("host", "url"),
+        key="host",
+        aggs={"n_rows": (F.count(F.lit(1)), F.sum)},
+        n_salts=n_salts,
+        unique_col="url",
+    )

@@ -22,9 +22,11 @@ LONG_TEXT_LEN = 16384    # suspicious-long gate (PaddedText detector)
 
 
 def with_partition_key(df: DataFrame, col: str = "p_day") -> DataFrame:
-    """Ensure the crawl-day partition key exists (derive from warc_ts)."""
+    """Ensure the crawl-day partition key exists as a STRING (derive from
+    warc_ts; partitioned-parquet reads infer `p_day=` dirs as DATE, so the
+    cast normalizes both sources to one type)."""
     if col in df.columns:
-        return df
+        return df.withColumn(col, F.col(col).cast("string"))
     return df.withColumn(col, F.date_format("warc_ts", "yyyy-MM-dd"))
 
 
@@ -50,7 +52,25 @@ def derive_row_features(df: DataFrame) -> DataFrame:
         .withColumn("len_bin", len_bin)
         .withColumn("host", F.parse_url("url", F.lit("HOST")))
         .withColumn("lang_bin", F.coalesce(F.col("lang"), F.lit("__null__")))
+        # payload-derived FLAGS so the payload columns themselves can be
+        # dropped before caching: Spark's in-memory columnar cache is ~30x
+        # slower materializing multi-KB binary columns than the flags
+        # (measured 111s vs 3.7s at 1.2M rows / 32 cores) — and at 100 TB
+        # you could never cache payloads anyway.  Everything the stats agg
+        # needs about html/text is condensed to these few bytes per row.
+        .withColumn("html_is_null", F.col("html").isNull())
+        .withColumn("text_is_null", F.col("text").isNull())
+        .withColumn(
+            "html_bad_utf8",
+            F.col("html").isNotNull() & ~F.expr("is_valid_utf8(html)"),
+        )
+        .withColumn("html_len", F.length("html"))
     )
+
+
+def light_features(features: DataFrame) -> DataFrame:
+    """The cache-friendly projection: every derived column, no payloads."""
+    return features.drop("html", "text")
 
 
 def partition_stats(features: DataFrame, exact: bool = False) -> DataFrame:
@@ -68,29 +88,38 @@ def partition_stats(features: DataFrame, exact: bool = False) -> DataFrame:
         F.count_distinct("host") if exact else F.approx_count_distinct("host", 0.01)
     )
     cond = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    extra = []
+    if "host_known" in features.columns:
+        # Bloom-probe misses counted in the SAME pass — the referential
+        # check costs zero extra scans (SURVEY.md §2.3: fact side is never
+        # joined, only probed)
+        extra.append(
+            cond(F.col("host").isNotNull() & ~F.col("host_known")).alias(
+                "n_unknown_hosts"
+            )
+        )
     return features.groupBy("p_day").agg(
+        *extra,
         F.count(F.lit(1)).alias("n_rows"),
         distinct_urls.alias("n_urls_distinct"),
         distinct_hosts.alias("n_hosts_distinct"),
         cond(F.col("url").isNull()).alias("url_nulls"),
-        cond(F.col("html").isNull()).alias("html_nulls"),
-        cond(F.col("text").isNull()).alias("text_nulls"),
+        cond(F.col("html_is_null")).alias("html_nulls"),
+        cond(F.col("text_is_null")).alias("text_nulls"),
         cond(F.col("lang").isNull()).alias("lang_nulls"),
         cond(F.col("warc_ts").isNull()).alias("warc_ts_nulls"),
-        # full-coverage undecodable-payload count, pure JVM
-        # (is_valid_utf8, Spark 4.0).  This makes the ExtractionError gate
-        # exact over ALL rows at zero Python cost — the corrupt-packet
-        # count (decoder.rs:138-143) without running the extractor.
-        cond(
-            F.col("html").isNotNull() & ~F.expr("is_valid_utf8(html)")
-        ).alias("n_html_bad_utf8"),
+        # full-coverage undecodable-payload count via the precomputed
+        # is_valid_utf8 flag: the ExtractionError gate is exact over ALL
+        # rows at zero Python cost — the corrupt-packet count
+        # (decoder.rs:138-143) without running the extractor.
+        cond(F.col("html_bad_utf8")).alias("n_html_bad_utf8"),
         cond(F.col("text_len") < SHORT_TEXT_LEN).alias("n_short_text"),
         cond(F.col("text_len") > LONG_TEXT_LEN).alias("n_long_text"),
         F.min("text_len").alias("len_min"),
         F.max("text_len").alias("len_max"),
         F.avg("text_len").alias("len_avg"),
-        F.percentile_approx("text_len", [0.5, 0.95], 10_000).alias("len_p50_p95"),
-        F.max(F.length("html")).alias("html_len_max"),
+        F.percentile_approx("text_len", [0.5, 0.95], 2_000).alias("len_p50_p95"),
+        F.max("html_len").alias("html_len_max"),
         F.min("warc_ts").alias("ts_min"),
         F.max("warc_ts").alias("ts_max"),
     ).select(
@@ -101,10 +130,7 @@ def partition_stats(features: DataFrame, exact: bool = False) -> DataFrame:
 
 
 def distribution_counts(features: DataFrame, column: str) -> DataFrame:
-    """(p_day, bin, count, total) for a categorical/binned column — the
-    distribution side of every drift check.  Two-level: partial counts
-    per task, final per (partition, bin); the window total avoids a second
-    scan of the raw rows."""
+    """(p_day, column_name, bin, count, total) for one binned column."""
     from pyspark.sql import Window as W
 
     bin_col = {"lang": "lang_bin", "text_len": "len_bin"}[column]
@@ -119,3 +145,38 @@ def distribution_counts(features: DataFrame, column: str) -> DataFrame:
         "count",
         F.sum("count").over(w).alias("total"),
     )
+
+
+def distribution_counts_all(features: DataFrame) -> DataFrame:
+    """Both drift histograms (lang + text_len) in ONE shuffle via
+    GROUPING SETS — the reference's per-band bucketed aggregations
+    (stereo.rs:169-265) generalized; SURVEY.md §2.4 names rollup/grouping
+    sets as the engine's sub-report mechanism.  Output schema matches
+    unioned distribution_counts()."""
+    from pyspark.sql import Window as W
+
+    grouped = (
+        features.groupingSets(
+            [["p_day", "lang_bin"], ["p_day", "len_bin"]],
+            "p_day", "lang_bin", "len_bin",
+        ).agg(
+            F.count(F.lit(1)).alias("count"),
+            # grouping() is only legal inside the agg; 1 = the column was
+            # aggregated away in this grouping set
+            F.grouping("len_bin").alias("_g_len"),
+        )
+    )
+    column_name = F.when(F.col("_g_len") == 1, F.lit("lang")).otherwise(
+        F.lit("text_len")
+    )
+    bin_col = F.when(F.col("_g_len") == 1, F.col("lang_bin")).otherwise(
+        F.col("len_bin")
+    )
+    counts = grouped.select(
+        "p_day",
+        column_name.alias("column_name"),
+        F.coalesce(bin_col, F.lit("__null__")).alias("bin"),
+        "count",
+    )
+    w = W.partitionBy("p_day", "column_name")
+    return counts.withColumn("total", F.sum("count").over(w))

@@ -32,17 +32,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from audio_quality_checker_spark.config import CheckSuite
-from audio_quality_checker_spark.operators.column_stats import (
-    column_stat_violations,
-    uniqueness_violations,
-)
+from audio_quality_checker_spark.operators.column_stats import stats_violations
 from audio_quality_checker_spark.operators.drift import drift_violations
-from audio_quality_checker_spark.operators.extraction_check import extraction_violations
-from audio_quality_checker_spark.operators.referential import referential_violations
+from audio_quality_checker_spark.operators.extraction_check import (
+    mismatch_violations,
+)
+from audio_quality_checker_spark.operators.referential import (
+    build_bloom,
+    with_membership,
+)
 from audio_quality_checker_spark.operators.schema import empty_violations
 from audio_quality_checker_spark.operators.stats import (
     derive_row_features,
-    distribution_counts,
+    distribution_counts_all,
+    light_features,
     partition_stats,
 )
 from audio_quality_checker_spark.operators.verdict import (
@@ -56,9 +59,10 @@ class ValidationResult:
     stats: DataFrame
     violations: DataFrame
     verdicts: DataFrame
+    cached: tuple = ()
 
     def unpersist(self) -> None:
-        for df in (self.stats, self.violations):
+        for df in (self.stats, self.violations, *self.cached):
             try:
                 df.unpersist()
             except Exception:
@@ -90,35 +94,73 @@ def run_checks(
     suite = suite or CheckSuite()
 
     features = derive_row_features(pages)
-    # Persisted once, consumed by stats + histograms + referential +
-    # extraction sample: the explicit computation-reuse the reference does
-    # with its spectral result (detector.rs:183-187).  MEMORY_AND_DISK so a
-    # 100 TB run degrades to disk instead of recomputing the scan 4x.
-    features.persist(StorageLevel.MEMORY_AND_DISK)
 
-    stats = partition_stats(features, exact=exact)
+    # Cache ONLY the light projection (derived columns + payload FLAGS, no
+    # html/text bodies): Spark's columnar cache materializes multi-KB
+    # binary columns ~30x slower than the flags (111s vs 3.7s at 1.2M
+    # rows), and at 100 TB payloads could never be cached anyway.  The one
+    # payload consumer (the sampled extraction-identity check) re-reads
+    # html+text straight from the source with parquet column pruning.
+    light = light_features(features)
+    if suite.check_referential and ref_hosts is not None:
+        # Bloom probe applied to the LIGHT frame only: a pandas UDF node
+        # buffers its input rows JVM-side while Python evaluates, so the
+        # probe must sit above the payload drop or 3.6 GB of html rides
+        # the Python-eval queue (measured 65s vs ~4s at 1.2M rows).
+        bloom = build_bloom(ref_hosts, "host")
+        light = with_membership(light, bloom, "host")
+
+    # Explicit computation reuse (the reference computes its spectral
+    # result once for two consumers, detector.rs:183-187), materialized
+    # EAGERLY: the violations DAG references this subplan from several
+    # independent stages inside one action, and a cold cache makes those
+    # stages race to populate it, re-running the input scan up to Nx
+    # (measured 10x).
+    light.persist(StorageLevel.MEMORY_AND_DISK)
+    light.count()
+
+    stats = partition_stats(light, exact=exact)
     stats.persist(StorageLevel.MEMORY_AND_DISK)
+    stats.count()
+
+    # All stats-derived checks (nulls, lengths, uniqueness, referential,
+    # extraction errors) emit from ONE explode over the tiny stats frame;
+    # the config gates filter the emitted types (conditional plan pruning,
+    # detector.rs:205-299, applied post-explode at zero cost).
+    enabled_types = []
+    if suite.check_column_stats:
+        enabled_types += ["NullRateExceeded", "LengthDistributionAnomaly"]
+    if suite.check_uniqueness:
+        enabled_types += ["UniquenessViolation"]
+    if suite.check_referential and ref_hosts is not None:
+        enabled_types += ["ReferentialViolation"]
+    if suite.check_extraction:
+        enabled_types += ["ExtractionError"]
 
     frames = []
-    if suite.check_column_stats:
-        frames.append(column_stat_violations(stats, suite))
-    if suite.check_uniqueness:
-        frames.append(uniqueness_violations(stats, suite))
-    if suite.check_referential and ref_hosts is not None:
-        frames.append(referential_violations(features, ref_hosts, suite))
+    if enabled_types:
+        frames.append(
+            stats_violations(stats, suite).where(
+                F.col("violation_type").isin(*enabled_types)
+            )
+        )
     if suite.check_drift and baseline is not None:
-        lang_dist = distribution_counts(features, "lang")
-        len_dist = distribution_counts(features, "text_len")
-        frames.append(drift_violations(lang_dist.unionByName(len_dist), baseline, suite))
+        frames.append(
+            drift_violations(distribution_counts_all(light), baseline, suite)
+        )
     if suite.check_extraction:
-        frames.append(extraction_violations(features, stats, suite))
+        # the only payload consumer: reads html+text from the SOURCE scan
+        # (column-pruned), not from the cache
+        frames.append(mismatch_violations(features, suite))
 
     violations = (
         combine_violations(frames, suite) if frames else empty_violations(spark)
     )
     violations.persist(StorageLevel.MEMORY_AND_DISK)
     verdicts = assemble_verdicts(violations, stats, suite)
-    return ValidationResult(stats=stats, violations=violations, verdicts=verdicts)
+    return ValidationResult(
+        stats=stats, violations=violations, verdicts=verdicts, cached=(light,)
+    )
 
 
 def validate(

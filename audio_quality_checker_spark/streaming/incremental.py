@@ -1,0 +1,99 @@
+"""Streaming ingestion of new crawl data through the SAME validation checks.
+
+The reference is strictly batch (SURVEY.md §2.10) and the engine's primary
+resumability story is batch-incremental (plans/lineage.py).  This module
+is the optional continuous-ingestion surface: a Structured Streaming
+query that watches a pages directory and validates each micro-batch with
+the identical `run_checks` DAG via `foreachBatch` — one codepath for batch
+and streaming, which is the point of the DataFrame abstraction.
+
+`foreachBatch` (not a streaming agg) because the checks need multi-pass
+per-batch semantics (persist + several aggregations) that a single
+streaming aggregation cannot express; each micro-batch is effectively one
+crawl-slice validated exactly like a batch partition, with results
+appended per batch id (idempotent on replay: batch id keys the output).
+
+Also included: a pure streaming stat — per-window ingest counts with
+watermarked event time on `warc_ts` — demonstrating the watermark/window
+surface for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from audio_quality_checker_spark.config import CheckSuite
+from audio_quality_checker_spark.plans.validate import run_checks
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "p_day string"
+)
+
+
+def stream_validate(
+    spark: SparkSession,
+    pages_dir: str,
+    results_root: str,
+    ref_hosts: DataFrame | None = None,
+    baseline: DataFrame | None = None,
+    suite: CheckSuite | None = None,
+    max_files_per_trigger: int = 8,
+):
+    """Start a streaming query validating newly-arrived page files.
+
+    Returns the StreamingQuery; callers drive it with
+    `processAllAvailable()` (tests) or let it run with a trigger.
+    """
+    stream = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_checks(spark, batch_df, ref_hosts, baseline, suite)
+        (
+            res.verdicts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{results_root}/stream_verdicts")
+        )
+        (
+            res.violations.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{results_root}/stream_violations")
+        )
+        res.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", f"{results_root}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_ingest_stats(spark: SparkSession, pages_dir: str,
+                        window: str = "1 day", watermark: str = "2 days"):
+    """Watermarked tumbling-window ingest counts on event time (warc_ts) —
+    the canonical late-data-tolerant streaming aggregation, writing to an
+    in-memory sink for inspection.  Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("text")).alias("avg_len"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "n", "avg_len")
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_stats")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -41,6 +41,12 @@ HEADLINE = [
     "lang_id",
     "jaccard_pairs",
     "cosine_pairs",
+    "token_budget",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ann_topk",
+    "kll_quantiles",
+    "quality_scores",
 ]
 
 

@@ -6,6 +6,10 @@
 from __future__ import annotations
 
 import argparse
+import os
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 

@@ -11,6 +11,10 @@ args -> CheckSuite -> lazy DataFrame DAG -> one action -> report + sinks.
 from __future__ import annotations
 
 import argparse
+import os
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

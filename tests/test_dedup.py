@@ -1,0 +1,99 @@
+"""Dedup operators: planted near-duplicates must be found; unrelated
+docs must not collide (the qualification hard-fail style)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from audio_quality_checker_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    simhash_near_dups,
+)
+from audio_quality_checker_spark.functions.hashing import SplitMixRNG
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red green blue "
+    "cyan magenta yellow black white stone river mountain forest meadow"
+).split()
+
+
+def _doc(rng: SplitMixRNG, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """100 random docs + 5 planted near-dup pairs + 1 exact-dup pair."""
+    rows = []
+    for i in range(100):
+        rng = SplitMixRNG(99, i)
+        rows.append((i, _doc(rng, 120)))
+    # near-dups: copy with the last 6 words changed (~95% shingle overlap)
+    planted = []
+    for j in range(5):
+        base_id = j * 7
+        rng = SplitMixRNG(7, j)
+        words = rows[base_id][1].split()
+        words[-6:] = [rng.choice(WORDS) for _ in range(6)]
+        dup_id = 200 + j
+        rows.append((dup_id, " ".join(words)))
+        planted.append((base_id, dup_id))
+    rows.append((300, rows[3][1]))  # exact dup of doc 3
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf).cache(), planted
+
+
+def test_minhash_finds_planted_pairs(spark, corpus):
+    df, planted = corpus
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(df, threshold=0.6).collect()
+    }
+    for a, b in planted:
+        assert (a, b) in found, f"missed planted pair {(a, b)}"
+    assert (3, 300) in found  # exact dup is the strongest near-dup
+    # no false positives among unrelated random docs: every reported pair
+    # is either planted or the exact dup
+    allowed = set(planted) | {(3, 300)}
+    assert found <= allowed, f"false positives: {found - allowed}"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, corpus):
+    df, planted = corpus
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(df, threshold=0.5).collect()
+    }
+    assert est[(3, 300)] == 1.0  # identical docs -> identical signatures
+    for p in planted:
+        assert est[p] > 0.6
+
+
+def test_lsh_bounds_candidates(spark, corpus):
+    df, _ = corpus
+    sigs = minhash_signatures(df)
+    n_cand = lsh_candidate_pairs(sigs).count()
+    n_total_pairs = 106 * 105 // 2
+    assert n_cand < n_total_pairs * 0.02, "LSH produced near-quadratic candidates"
+
+
+def test_simhash_finds_planted_pairs(spark, corpus):
+    df, planted = corpus
+    found = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(df, max_hamming=10).collect()
+    }
+    assert (3, 300) in found and found[(3, 300)] == 0
+    hits = sum(1 for p in planted if p in found)
+    assert hits >= 4, f"simhash found only {hits}/5 planted pairs: {found}"
+
+
+def test_exact_dup_groups(spark, corpus):
+    df, _ = corpus
+    groups = exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [3, 300]

@@ -1,0 +1,87 @@
+"""Similarity search: LSH recall measured against the brute-force oracle;
+planted near-duplicate vectors must surface at rank 1."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from audio_quality_checker_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_signatures,
+    lsh_topk,
+)
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """300 random vectors + 10 planted near-dups of the first 10."""
+    rng = np.random.default_rng(42)
+    base = rng.normal(0, 1, (300, DIM))
+    rows = [(i, base[i].astype(float).tolist()) for i in range(300)]
+    planted = []
+    for j in range(10):
+        noisy = base[j] + rng.normal(0, 0.05, DIM)
+        rows.append((500 + j, noisy.astype(float).tolist()))
+        planted.append((500 + j, j))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf).cache(), planted
+
+
+def test_brute_force_finds_planted(spark, vectors):
+    df, planted = vectors
+    queries = df.where(F.col("vec_id") >= 500)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(queries, df, k=1).collect()
+    }
+    for qid, nid in planted:
+        assert top1[qid] == nid, f"query {qid}: expected {nid}, got {top1[qid]}"
+
+
+def test_brute_force_topk_shape(spark, vectors):
+    df, _ = vectors
+    queries = df.limit(3)
+    out = brute_force_topk(queries, df, k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert 1 <= r["rank"] <= 5
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_signatures_deterministic(spark, vectors):
+    df, _ = vectors
+    a = {r["vec_id"]: r["bucket"] for r in hyperplane_signatures(df, DIM).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in hyperplane_signatures(df, DIM).collect()}
+    assert a == b
+
+
+def test_lsh_recall_at_1_for_planted(spark, vectors):
+    """Near-identical vectors land in the same LSH buckets with very high
+    probability; require >= 9/10 planted pairs found at rank 1."""
+    df, planted = vectors
+    queries = df.where(F.col("vec_id") >= 500)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_topk(queries, df, dim=DIM, k=1).collect()
+    }
+    hits = sum(1 for qid, nid in planted if top1.get(qid) == nid)
+    assert hits >= 9, f"LSH recall@1 too low: {hits}/10 ({top1})"
+
+
+def test_lsh_subset_of_bruteforce_scores(spark, vectors):
+    """Every (query, neighbor, cosine) the LSH path reports must carry the
+    same cosine the exact path computes — LSH prunes candidates, never
+    changes scores."""
+    df, _ = vectors
+    queries = df.limit(5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(queries, df, k=50).collect()
+    }
+    for r in lsh_topk(queries, df, dim=DIM, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["cosine"]) < 1e-9

@@ -1,0 +1,56 @@
+"""Streaming surface: micro-batch validation through the same run_checks
+DAG, and watermarked windowed ingest stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from audio_quality_checker_spark.sources.pages import (
+    baseline_snapshot_pdf,
+    gen_pages_pdf,
+    ref_hosts_pdf,
+)
+from audio_quality_checker_spark.streaming.incremental import (
+    stream_ingest_stats,
+    stream_validate,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    root = str(tmp_path)
+    cats = ["Control_Clean", "NullStorm"]
+    pages = spark.createDataFrame(gen_pages_pdf(120, categories=cats))
+    pages.write.mode("overwrite").parquet(f"{root}/pages_in")
+    return root
+
+
+def test_stream_validate_matches_batch_semantics(spark, stream_dir):
+    hosts = spark.createDataFrame(ref_hosts_pdf())
+    base = spark.createDataFrame(baseline_snapshot_pdf(1000))
+    q = stream_validate(
+        spark, f"{stream_dir}/pages_in", f"{stream_dir}/out", hosts, base
+    )
+    q.awaitTermination(120)
+    verdicts = {
+        r["partition_key"]: r["passed"]
+        for r in spark.read.parquet(f"{stream_dir}/out/stream_verdicts").collect()
+    }
+    assert verdicts["2025-11-01"] is True   # Control_Clean
+    assert verdicts["2025-11-02"] is False  # NullStorm
+    types = {
+        r["violation_type"]
+        for r in spark.read.parquet(
+            f"{stream_dir}/out/stream_violations"
+        ).collect()
+    }
+    assert "NullRateExceeded" in types
+
+
+def test_stream_ingest_stats_windows(spark, stream_dir):
+    q = stream_ingest_stats(spark, f"{stream_dir}/pages_in", window="1 day")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ingest_stats").collect()
+    assert len(rows) > 0
+    days = {r["window_start"].strftime("%Y-%m-%d") for r in rows}
+    assert {"2025-11-01", "2025-11-02"} <= days
+    assert all(r["n"] > 0 for r in rows)
