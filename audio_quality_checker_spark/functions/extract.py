@@ -86,12 +86,16 @@ def extract_text(html: bytes) -> str:
         raise ExtractionError(f"invalid utf-8 at byte {e.start}") from e
     s = _BLOCK_TAG_RE.sub("\n", s)
     s = _ANY_TAG_RE.sub("", s)
-    for ent, ch in _NAMED_ENTITIES.items():
-        s = s.replace(ent, ch)
-    s = _NUM_ENTITY_RE.sub(_unescape_numeric, s)
+    if "&" in s:  # entity passes only when an ampersand exists (pure perf)
+        for ent, ch in _NAMED_ENTITIES.items():
+            if ent in s:
+                s = s.replace(ent, ch)
+        if "&#" in s:
+            s = _NUM_ENTITY_RE.sub(_unescape_numeric, s)
     s = _HSPACE_RE.sub(" ", s)
     s = "\n".join(line.strip() for line in s.split("\n"))
-    s = _BLANKLINE_RE.sub("\n", s)
+    if "\n\n" in s:
+        s = _BLANKLINE_RE.sub("\n", s)
     return s.strip()
 
 

@@ -61,10 +61,10 @@ def mismatch_stats(features: DataFrame, suite: CheckSuite) -> DataFrame:
     sc = features.sparkSession.sparkContext
     # one python worker per core, never more: tasks beyond core count only
     # add JVM<->python context-switch pressure (measured: 33 tasks on 32
-    # cores = 171s, 16 tasks = 35s for the same work)
-    target = max(4, sc.defaultParallelism)
-    if df.rdd.getNumPartitions() > target:
-        df = df.coalesce(target)
+    # cores = 171s, 16 tasks = 35s for the same work).  coalesce to a
+    # target >= current partition count is a no-op, so no .rdd plan
+    # analysis (driver-serial) is needed to guard it.
+    df = df.coalesce(max(4, sc.defaultParallelism))
 
     def partials(batches):
         from audio_quality_checker_spark.functions.extract import extract_text_safe

@@ -81,8 +81,15 @@ def validate_resumable(
     pages = spark.read.parquet(pages_path)
     if done:
         # partition-column predicate -> file pruning: finished crawl days
-        # are never read again (the scan-level skip, not a post-filter)
-        pages = pages.where(~F.col(partition_col).isin(*sorted(done)))
+        # are never read again (the scan-level skip, not a post-filter).
+        # Literals must match the column's type (partitioned parquet
+        # infers p_day as DATE) or the cast blocks partition pruning.
+        from pyspark.sql.types import DateType
+
+        vals: list = sorted(done)
+        if isinstance(pages.schema[partition_col].dataType, DateType):
+            vals = [dt.date.fromisoformat(v) for v in vals]
+        pages = pages.where(~F.col(partition_col).isin(vals))
     if pages.limit(1).count() == 0:
         return None
 

@@ -90,8 +90,12 @@ def stream_ingest_stats(spark: SparkSession, pages_dir: str,
         )
         .select(F.col("w.start").alias("window_start"), "lang", "n", "avg_len")
     )
+    # complete mode: append-mode windowed aggs only emit once the watermark
+    # passes a window's end, so the newest windows would stay pending
+    # forever in a bounded smoke run; complete re-emits the full result per
+    # trigger, which is exactly what an inspection sink wants.
     return (
-        stream.writeStream.outputMode("append")
+        stream.writeStream.outputMode("complete")
         .format("memory")
         .queryName("ingest_stats")
         .trigger(availableNow=True)

@@ -61,6 +61,8 @@ def test_partial_failure_resume_matches_uninterrupted(spark, warehouse, tmp_path
     # simulate a run that died after finishing 2 of 4 partitions: run the
     # full pass on a pruned input, as the protocol would have recorded
     pages = spark.read.parquet(f"{warehouse}/pages")
+    # partition-column inference yields DATE; lineage keys are strings
+    pages = pages.withColumn("p_day", F.col("p_day").cast("string"))
     two_days = sorted(
         r["p_day"] for r in pages.select("p_day").distinct().collect()
     )[:2]

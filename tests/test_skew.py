@@ -42,7 +42,10 @@ def test_salt_spreads_hot_key(spark):
     )
     counts = [r["count"] for r in per_salt]
     assert len(counts) == 16  # every salt bucket hit
-    assert max(counts) < 3 * min(counts)  # roughly even spread
+    expected = sum(counts) / 16
+    # binomial spread at ~160 rows is wide; bound the max bucket at 3x the
+    # mean — what matters for skew relief is no bucket re-concentrating
+    assert max(counts) < 3 * expected, counts
 
 
 def test_salt_deterministic(spark):
