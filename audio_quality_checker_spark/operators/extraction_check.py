@@ -59,12 +59,13 @@ def mismatch_stats(features: DataFrame, suite: CheckSuite) -> DataFrame:
             seed=suite.extraction_sample_seed,
         )
     sc = features.sparkSession.sparkContext
-    # one python worker per core, never more: tasks beyond core count only
-    # add JVM<->python context-switch pressure (measured: 33 tasks on 32
-    # cores = 171s, 16 tasks = 35s for the same work).  coalesce to a
-    # target >= current partition count is a no-op, so no .rdd plan
-    # analysis (driver-serial) is needed to guard it.
-    df = df.coalesce(max(4, sc.defaultParallelism))
+    # Half the task slots, never more: an extraction task occupies ~2 CPUs
+    # (its Python worker plus the JVM thread feeding it Arrow batches), so
+    # running this stage at full slot width oversubscribes the executor
+    # (measured: 33 tasks on 32 cores = 171s, 16 tasks = 35s for the same
+    # work).  coalesce to a target >= current partition count is a no-op,
+    # so no .rdd plan analysis (driver-serial) is needed to guard it.
+    df = df.coalesce(max(2, sc.defaultParallelism // 2))
 
     def partials(batches):
         from audio_quality_checker_spark.functions.extract import extract_text_safe

@@ -42,9 +42,11 @@ from audio_quality_checker_spark.config import CheckSuite
 from audio_quality_checker_spark.plans.validate import run_checks
 
 cpu_budget = int(sys.argv[1]); data = sys.argv[2]; reps = int(sys.argv[3])
-# half the affinity budget drives JVM task slots, the other half the
-# python workers those tasks feed
-cores = max(2, cpu_budget // 2)
+# JVM-only stages get the whole budget as task slots; the engine itself
+# halves the slot width of its one Python-heavy stage (extraction) so
+# worker+feeder pairs fit the same budget.  Both components then scale
+# proportionally with the budget.
+cores = cpu_budget
 os.environ.setdefault("SPARK_DRIVER_JAVA_OPTS",
                       f"-XX:+UseParallelGC -XX:ParallelGCThreads={{max(2, cpu_budget // 2)}}")
 spark = get_spark(app_name=f"aqcs-scale-{{cpu_budget}}", cores=cores,
