@@ -757,6 +757,34 @@ def q_quality_scores(spark, sf):
     )
 
 
+# rollup — hierarchical sub-reports (SURVEY.md §2.4: the engine's
+# per-lang sub-report mechanism, heir of the per-band analyses)
+def q_rollup_report(spark, sf):
+    d = load(spark, sf, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("__all__")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("__all__")).alias("source"),
+            "n",
+            "avg_chars",
+        )
+    )
+
+
+SQL_ROLLUP_REPORT = """
+SELECT coalesce(lang, '__all__') AS lang,
+       coalesce(source, '__all__') AS source,
+       count(*) AS n,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 # token budget IS expression-only, so it gets a real oracle
 def q_token_budget(spark, sf):
     from audio_quality_checker_spark.functions.text_stats import token_counts
@@ -804,6 +832,7 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    "rollup_report": (q_rollup_report, SQL_ROLLUP_REPORT),
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_dedup": (q_simhash_dedup, None),

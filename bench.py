@@ -42,6 +42,7 @@ HEADLINE = [
     "jaccard_pairs",
     "cosine_pairs",
     "token_budget",
+    "rollup_report",
     "minhash_dedup",
     "simhash_dedup",
     "ann_topk",
