@@ -127,6 +127,26 @@ def stats_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
         )
     )
 
+    # extraction-identity mismatch, present only in fused single-scan mode
+    # (operators/fused.py); evidence/confidence identical to the sampled
+    # path in extraction_check.py so fused and unfused verdicts agree
+    if "n_ex_compared" in stats.columns:
+        mis_rate = F.col("n_ex_mismatch") / F.greatest(
+            F.col("n_ex_compared"), F.lit(1)
+        ).cast("double")
+        structs.append(
+            _v(
+                "ExtractionMismatch",
+                "text",
+                graded_confidence(mis_rate, suite.max_extraction_mismatch_rate),
+                F.format_string(
+                    "stored text != extract(html) for %.4f of compared rows (%d of %d)",
+                    mis_rate, F.col("n_ex_mismatch"), F.col("n_ex_compared"),
+                ),
+                {"mismatch_rate": mis_rate, "n_mismatch": F.col("n_ex_mismatch")},
+            )
+        )
+
     # referential miss rate, present only when the bloom probe was folded
     # into the stats scan (n_unknown_hosts column exists)
     if "n_unknown_hosts" in stats.columns:

@@ -98,6 +98,11 @@ def partition_stats(features: DataFrame, exact: bool = False) -> DataFrame:
                 "n_unknown_hosts"
             )
         )
+    if "ex_compared" in features.columns:
+        # fused single-scan mode: extraction-identity counts already ride
+        # the feature rows (operators/fused.py)
+        extra.append(cond(F.col("ex_compared")).alias("n_ex_compared"))
+        extra.append(cond(F.col("ex_mismatch")).alias("n_ex_mismatch"))
     return features.groupBy("p_day").agg(
         *extra,
         F.count(F.lit(1)).alias("n_rows"),

@@ -93,22 +93,39 @@ def run_checks(
     exact distinct counts (small-scale oracle mode)."""
     suite = suite or CheckSuite()
 
-    features = derive_row_features(pages)
+    bloom = (
+        build_bloom(ref_hosts, "host")
+        if suite.check_referential and ref_hosts is not None
+        else None
+    )
 
-    # Cache ONLY the light projection (derived columns + payload FLAGS, no
-    # html/text bodies): Spark's columnar cache materializes multi-KB
-    # binary columns ~30x slower than the flags (111s vs 3.7s at 1.2M
-    # rows), and at 100 TB payloads could never be cached anyway.  The one
-    # payload consumer (the sampled extraction-identity check) re-reads
-    # html+text straight from the source with parquet column pruning.
-    light = light_features(features)
-    if suite.check_referential and ref_hosts is not None:
-        # Bloom probe applied to the LIGHT frame only: a pandas UDF node
-        # buffers its input rows JVM-side while Python evaluates, so the
-        # probe must sit above the payload drop or 3.6 GB of html rides
-        # the Python-eval queue (measured 65s vs ~4s at 1.2M rows).
-        bloom = build_bloom(ref_hosts, "host")
-        light = with_membership(light, bloom, "host")
+    fused = suite.check_extraction and suite.check_extraction_full
+    if fused:
+        # Full-extraction mode touches every payload in Python anyway, so
+        # ONE fused mapInPandas pass produces the light features AND the
+        # extraction comparison AND the Bloom probe — the second payload
+        # scan disappears (operators/fused.py; the measured ~80-100s
+        # parallelism-independent I/O term in BENCH/BASELINE.md).
+        from audio_quality_checker_spark.operators.fused import fused_features
+
+        features = None
+        light = fused_features(pages, bloom)
+    else:
+        features = derive_row_features(pages)
+        # Cache ONLY the light projection (derived columns + payload
+        # FLAGS, no html/text bodies): Spark's columnar cache materializes
+        # multi-KB binary columns ~30x slower than the flags (111s vs 3.7s
+        # at 1.2M rows), and at 100 TB payloads could never be cached
+        # anyway.  The one payload consumer (the sampled
+        # extraction-identity check) re-reads html+text straight from the
+        # source with parquet column pruning.
+        light = light_features(features)
+        if bloom is not None:
+            # Bloom probe applied to the LIGHT frame only: a pandas UDF
+            # node buffers its input rows JVM-side while Python evaluates,
+            # so the probe must sit above the payload drop or 3.6 GB of
+            # html rides the Python-eval queue (measured 65s vs ~4s).
+            light = with_membership(light, bloom, "host")
 
     # Explicit computation reuse (the reference computes its spectral
     # result once for two consumers, detector.rs:183-187), materialized
@@ -136,6 +153,8 @@ def run_checks(
         enabled_types += ["ReferentialViolation"]
     if suite.check_extraction:
         enabled_types += ["ExtractionError"]
+        if fused:
+            enabled_types += ["ExtractionMismatch"]  # rides the stats row
 
     frames = []
     if enabled_types:
@@ -148,9 +167,9 @@ def run_checks(
         frames.append(
             drift_violations(distribution_counts_all(light), baseline, suite)
         )
-    if suite.check_extraction:
-        # the only payload consumer: reads html+text from the SOURCE scan
-        # (column-pruned), not from the cache
+    if suite.check_extraction and not fused:
+        # sampled mode: the only payload consumer reads html+text from the
+        # SOURCE scan (column-pruned), not from the cache
         frames.append(mismatch_violations(features, suite))
 
     violations = (
