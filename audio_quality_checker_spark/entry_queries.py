@@ -47,7 +47,7 @@ SELECT source,
        max(n_chars) AS max_chars,
        round(avg(n_chars), 4) AS avg_chars,
        count(DISTINCT lang) AS n_langs,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls
 FROM documents GROUP BY source
 """
 
@@ -358,8 +358,8 @@ WITH diffs AS (
 )
 SELECT user_id,
        round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 6) AS flux,
-       sum(CASE WHEN d IS NOT NULL AND sign(d) != sign(prev_d)
-                THEN 1 ELSE 0 END) AS n_sign_changes
+       CAST(sum(CASE WHEN d IS NOT NULL AND sign(d) != sign(prev_d)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_changes
 FROM d2 GROUP BY user_id
 """
 
@@ -798,10 +798,11 @@ def q_token_budget(spark, sf):
 
 SQL_TOKEN_BUDGET = """
 SELECT lang,
-       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_ws_tokens,
-       sum(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))))
-         AS total_bpe_est_tokens
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS total_ws_tokens,
+       CAST(sum(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))))
+            AS BIGINT) AS total_bpe_est_tokens
 FROM documents GROUP BY lang
 """
 

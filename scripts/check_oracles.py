@@ -32,6 +32,33 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+def pandas_dtype_sig(sdf, duck_rel) -> tuple[str, str]:
+    """Emulate the driver's pandas fetch path: DuckDB HUGEINT (e.g. sum of
+    ints) becomes float64 in pandas while Spark bigint stays int64, which
+    hash-mismatches even when fetchall() values are equal (round-1 lesson:
+    column_stats/flux/token_budget).  Returns sorted (col:dtype) signatures
+    for both sides so the divergence is caught locally."""
+    sp = sdf.toPandas()
+    dp = duck_rel.df()
+
+    def klass(dt) -> str:
+        s = str(dt)
+        # int32 vs int64 / datetime64[ns] vs [us] stringify identically, so the
+        # driver hash does not care — only the int/float/other class matters.
+        if s.startswith(("int", "uint")):
+            return "int"
+        if s.startswith("float"):
+            return "float"
+        if s.startswith("datetime"):
+            return "datetime"
+        return "object"
+
+    sig = lambda df: ",".join(  # noqa: E731
+        f"{c}:{klass(df[c].dtype)}" for c in sorted(df.columns)
+    )
+    return sig(sp), sig(dp)
+
+
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -82,6 +109,10 @@ def main():
             problems.append(f"schema {sorted(s_cols)} != {sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if not problems:
+            sig_s, sig_d = pandas_dtype_sig(sdf, con.sql(sql))
+            if sig_s != sig_d:
+                problems.append(f"pandas dtypes {sig_s} != {sig_d}")
         if not problems:
             h_s = value_hash(s_rows, s_cols)
             h_d = value_hash(d_rows, d_cols)
