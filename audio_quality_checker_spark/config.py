@@ -49,6 +49,13 @@ class CheckSuite:
     extraction_sample_fraction: float = 0.10
     extraction_sample_seed: int = 42
 
+    # task width for the fused single-scan pass (None = derive from the
+    # cluster: half the per-executor slots per executor, because each
+    # Python-UDF task occupies ~2 CPUs — its Python worker plus the JVM
+    # thread feeding it Arrow batches; measured on the 32-core sandbox:
+    # tasks==cores 171s vs tasks==cores/2 25-35s for identical work)
+    fused_task_width: int | None = None
+
     # ---- verdict assembly (detector.rs:360-376 analog) ----
     min_confidence: float = 0.5          # final violation filter
     pass_score_threshold: float = 0.7    # detector.rs:362-371

@@ -112,9 +112,13 @@ class KLLSketch:
         return [self.quantile(q) for q in qs]
 
     # -- serialization: fixed header + level sizes + concatenated floats --
+    # the seed is part of the header: compaction offsets derive from it, so
+    # a round-tripped sketch must keep compacting identically for the
+    # determinism guarantee to hold with non-default seeds
     def to_bytes(self) -> bytes:
         head = _MAGIC + struct.pack(
-            "<iqii", self.k, self.n, self._compactions, len(self.levels)
+            "<iqiiq", self.k, self.n, self._compactions, len(self.levels),
+            self.seed,
         )
         sizes = struct.pack(f"<{len(self.levels)}i", *[a.size for a in self.levels])
         body = b"".join(np.ascontiguousarray(a).tobytes() for a in self.levels)
@@ -123,11 +127,11 @@ class KLLSketch:
     @classmethod
     def from_bytes(cls, raw: bytes) -> "KLLSketch":
         assert raw[:4] == _MAGIC, "not a KLL sketch"
-        k, n, comps, depth = struct.unpack_from("<iqii", raw, 4)
-        off = 4 + struct.calcsize("<iqii")
+        k, n, comps, depth, seed = struct.unpack_from("<iqiiq", raw, 4)
+        off = 4 + struct.calcsize("<iqiiq")
         sizes = struct.unpack_from(f"<{depth}i", raw, off)
         off += 4 * depth
-        sk = cls(k)
+        sk = cls(k, seed=seed)
         sk.n, sk._compactions = n, comps
         sk.levels = []
         for s in sizes:

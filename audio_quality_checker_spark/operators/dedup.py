@@ -8,7 +8,8 @@ web-scale dedup pipeline (Broder, "On the resemblance and containment of
 documents", SEQUENCES 1997; Manku et al., "Detecting near-duplicates for
 web crawling", WWW 2007 for SimHash):
 
-  signature build (one scan, numpy inside Arrow batches)
+  signature build (shingle/token hashing JVM-side via xxhash64 inside
+      whole-stage codegen; only the min/vote reduction runs in numpy)
     -> LSH banding (explode to (band, band_hash) keys, one shuffle)
     -> bucket self-join produces candidate pairs (skew-safe: only rows
        sharing a band hash ever meet)
@@ -22,30 +23,52 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from audio_quality_checker_spark.functions.hashing import splitmix64
 
 _SEED_BASE = np.uint64(0x9E3779B97F4A7C15)
 
+# cap on the (shingles x n_hashes) numpy working set per vectorized chunk
+_MAX_CHUNK_CELLS = 16_000_000
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of the k-word shingles of `text` (uint64, deduplicated)."""
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.zeros(0, dtype=np.uint64)
-    # FNV-1a per shingle (short strings; runs inside an Arrow batch)
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = 0xCBF29CE484222325
-        for b in s.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return np.unique(splitmix64(out))
+
+def _shingle_hash_col(text_col: str, k: int) -> Column:
+    """array<bigint> of xxhash64(k-word-shingle) — built entirely JVM-side
+    (split / slice / array_join / xxhash64 stay in whole-stage codegen; the
+    round-1 per-byte Python FNV loop was the minhash throughput ceiling)."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    n = F.size(toks)
+    shingles = (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.array_join(toks, " ")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        )
+    )
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _token_hash_col(text_col: str) -> Column:
+    """array<bigint> of xxhash64(token), JVM-side."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _row_starts(lens: np.ndarray) -> np.ndarray:
+    starts = np.zeros(lens.size, dtype=np.int64)
+    if lens.size > 1:
+        starts[1:] = np.cumsum(lens[:-1])
+    return starts
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -53,38 +76,66 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        shingle_k: int = 5) -> DataFrame:
     """(id, sig array<bigint>): n_hashes-permutation MinHash signature.
 
-    The "permutations" are splitmix64(shingle_hash XOR seed_i) — one
-    numpy broadcast min per batch, no per-row Python UDF.
+    Shingle hashing happens JVM-side (xxhash64); the "permutations" are
+    splitmix64(shingle_hash XOR seed_i), reduced with one
+    np.minimum.reduceat over the whole Arrow batch — no per-row Python.
     """
     seeds = splitmix64(
         np.arange(1, n_hashes + 1, dtype=np.uint64) * _SEED_BASE
     )
+    sentinel = np.iinfo(np.int64).max
 
     def compute(batches):
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                sh = _shingle_hashes(text or "", shingle_k)
-                if sh.size == 0:
-                    sigs.append(np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64))
-                    continue
+            n_rows = len(pdf)
+            out = np.full((n_rows, n_hashes), sentinel, dtype=np.int64)
+            lens = pdf["sh"].map(len).to_numpy(dtype=np.int64)
+            nz = np.flatnonzero(lens > 0)
+            # chunk rows so the (shingles x n_hashes) matrix stays bounded
+            pos = 0
+            while pos < nz.size:
+                end, cells = pos, 0
+                while end < nz.size and (
+                    cells + lens[nz[end]] * n_hashes <= _MAX_CHUNK_CELLS
+                    or end == pos
+                ):
+                    cells += lens[nz[end]] * n_hashes
+                    end += 1
+                rows = nz[pos:end]
+                all_h = np.concatenate(
+                    [np.asarray(pdf["sh"].iloc[i], dtype=np.int64) for i in rows]
+                ).view(np.uint64)
                 with np.errstate(over="ignore"):
-                    m = splitmix64(sh[:, None] ^ seeds[None, :]).min(axis=0)
-                sigs.append(m.view(np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": [s.tolist() for s in sigs]})
+                    m = splitmix64(all_h[:, None] ^ seeds[None, :])
+                mins = np.minimum.reduceat(m, _row_starts(lens[rows]), axis=0)
+                out[rows] = mins.view(np.int64)
+                pos = end
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": [r.tolist() for r in out]}
+            )
 
-    return df.select(id_col, text_col).mapInPandas(
-        compute, schema=f"{id_col} long, sig array<bigint>"
-    )
+    staged = df.select(id_col, _shingle_hash_col(text_col, shingle_k).alias("sh"))
+    return staged.mapInPandas(compute, schema=f"{id_col} long, sig array<bigint>")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 32) -> DataFrame:
+                        bands: int = 32,
+                        n_hashes: int | None = None) -> DataFrame:
     """Candidate pairs from LSH banding: split the signature into `bands`
     slices, hash each slice, and self-join on (band_idx, band_hash).
     Pairs sharing >= 1 band collide; with 128 hashes / 32 bands (r=4),
-    P[collision] = 1-(1-j^4)^32 — ~0.97 at j=0.7, ~0.04 at j=0.2."""
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    P[collision] = 1-(1-j^4)^32 — ~0.97 at j=0.7, ~0.04 at j=0.2.
+
+    `n_hashes` is the signature length; callers that built the signatures
+    know it — pass it to avoid a driver-side first() action (and the
+    TypeError it raises on an empty input frame)."""
+    if n_hashes is None:
+        row = sigs.select("sig").first()
+        if row is None:  # empty input: no pairs, no extra Spark jobs
+            return sigs.sparkSession.createDataFrame(
+                [], "id_a long, id_b long"
+            )
+        n_hashes = len(row["sig"])
     r = n_hashes // bands
     banded = sigs.select(
         id_col,
@@ -121,7 +172,7 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     agreement (estimated Jaccard = fraction of equal MinHash components)."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
     sigs.persist()
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, n_hashes=n_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     joined = cands.join(sa, "id_a").join(sb, "id_b")
@@ -146,81 +197,122 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(id, simhash bigint): 64-bit SimHash — sign of the weighted sum of
-    token-hash bit vectors.  Near-dup docs differ in few bits."""
+    token-hash bit vectors.  Near-dup docs differ in few bits.  Token
+    hashing is JVM-side xxhash64; the bit-vote reduction is one
+    np.add.reduceat over the whole Arrow batch."""
+    bitpos = np.arange(64, dtype=np.uint64)
 
     def compute(batches):
         for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                toks = (text or "").split()
-                if not toks:
-                    out[i] = 0
-                    continue
-                hs = np.empty(len(toks), dtype=np.uint64)
-                for j, t in enumerate(toks):
-                    h = 0xCBF29CE484222325
-                    for bch in t.encode("utf-8"):
-                        h = ((h ^ bch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                    hs[j] = h
-                hs = splitmix64(hs)
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sim = np.uint64(0)
-                sim = (
-                    (votes > 0).astype(np.uint64)
-                    << np.arange(64, dtype=np.uint64)
-                ).sum(dtype=np.uint64)
-                out[i] = np.int64(sim.astype(np.uint64).view(np.int64))
+            n_rows = len(pdf)
+            out = np.zeros(n_rows, dtype=np.int64)
+            lens = pdf["th"].map(len).to_numpy(dtype=np.int64)
+            nz = np.flatnonzero(lens > 0)
+            pos = 0
+            while pos < nz.size:
+                end, cells = pos, 0
+                while end < nz.size and (
+                    cells + lens[nz[end]] * 64 <= _MAX_CHUNK_CELLS
+                    or end == pos
+                ):
+                    cells += lens[nz[end]] * 64
+                    end += 1
+                rows = nz[pos:end]
+                all_h = np.concatenate(
+                    [np.asarray(pdf["th"].iloc[i], dtype=np.int64) for i in rows]
+                ).view(np.uint64)
+                bits = ((all_h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(
+                    np.int32
+                )
+                votes = np.add.reduceat(2 * bits - 1, _row_starts(lens[rows]), axis=0)
+                sims = (
+                    (votes > 0).astype(np.uint64) << bitpos[None, :]
+                ).sum(axis=1, dtype=np.uint64)
+                out[rows] = sims.view(np.int64)
+                pos = end
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(
-        compute, schema=f"{id_col} long, simhash long"
-    )
+    staged = df.select(id_col, _token_hash_col(text_col).alias("th"))
+    return staged.mapInPandas(compute, schema=f"{id_col} long, simhash long")
+
+
+def _band_ranges(n_bands: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_bands contiguous (start, width) ranges, widths
+    differing by at most one bit."""
+    base, rem = divmod(64, n_bands)
+    ranges, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        ranges.append((start, w))
+        start += w
+    return ranges
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """(id_a, id_b, hamming): pairs within `max_hamming` bits.
+    """(id_a, id_b, hamming): all pairs within `max_hamming` bits.
 
-    Blocking: split the 64-bit hash into 4 x 16-bit bands; any pair with
-    hamming <= 3 agrees exactly on >= 1 band (pigeonhole), so the bucket
-    self-join on (band_idx, band_value) finds all of them — Manku et al.'s
-    table construction, WWW 2007.
+    Blocking: split the 64-bit hash into (max_hamming + 1) bands; a pair
+    with hamming <= max_hamming flips bits in at most max_hamming bands,
+    so it agrees exactly on >= 1 band (pigeonhole) — complete recall for
+    the advertised radius at any setting (round 1 hard-coded 4 bands,
+    which silently dropped hamming-4..12 pairs when called with
+    max_hamming=12).
+
+    Cost model at scale: band width is 64/(max_hamming+1) bits, so bucket
+    sizes grow as n / 2^(64/(h+1)) — at 10^12 docs radii beyond ~4 make
+    buckets quadratic-hot and the right design is Manku et al.'s
+    multi-table permuted-block construction (WWW 2007 §3) or a smaller
+    radius; the engine's validation entry point uses h=3 (16-bit bands).
+    The hamming predicate sits inside the join condition so non-matching
+    collisions die before the distinct() shuffle.
     """
     sigs = simhash_signatures(df, id_col, text_col)
     sigs.persist()
+    return simhash_pairs_from_sigs(sigs, id_col, max_hamming)
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """The banding + bucket-join stage over an (id, simhash) frame; split
+    out so the pigeonhole recall guarantee is testable with explicit
+    signatures planted at exact hamming distances."""
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64 for 64-bit SimHash")
     banded = sigs.select(
         id_col,
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned("simhash", start).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for start, width in _band_ranges(n_bands)
                 ]
             )
         ).alias("band_idx", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (hamming <= max_hamming),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col("a.simhash").alias("sim_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("b.simhash").alias("sim_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cands.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

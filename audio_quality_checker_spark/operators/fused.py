@@ -70,8 +70,22 @@ def fused_features(pages: DataFrame, bloom: BloomFilter | None,
     bloom_state = (
         (bloom.m_bits, bloom.n_hashes, bloom.bits.tobytes()) if bloom else None
     )
-    sc = pages.sparkSession.sparkContext
-    width = task_width or max(2, sc.defaultParallelism // 2)
+    # Width heuristic: each fused task needs a Python worker AND a JVM
+    # Arrow-feed thread (~2 CPUs), so target half the task slots.  On a
+    # real cluster the slot count is executors x executor-cores, NOT
+    # defaultParallelism (which can be input-split-driven); prefer the
+    # executor configs when they are set and fall back to
+    # defaultParallelism for local mode.  Overridable via
+    # CheckSuite.fused_task_width.
+    spark = pages.sparkSession
+    sc = spark.sparkContext
+    if task_width is None:
+        exec_cores = int(spark.conf.get("spark.executor.cores", "0") or 0)
+        n_exec = int(spark.conf.get("spark.executor.instances", "0") or 0)
+        slots = exec_cores * n_exec if exec_cores and n_exec else sc.defaultParallelism
+        width = max(2, slots // 2)
+    else:
+        width = task_width
 
     def run(batches):
         bf = (
@@ -101,7 +115,19 @@ def fused_features(pages: DataFrame, bloom: BloomFilter | None,
                 extracted, err = extract_text_safe(
                     bytes(html) if html is not None else None
                 )
-                bad_utf8.append((not hn) and err is not None)
+                # parity with the unfused column (stats.py is_valid_utf8 on
+                # the RAW bytes): extract_text decodes only AFTER stripping
+                # script/style/comments, so invalid UTF-8 inside a stripped
+                # region succeeds there but must still flag here
+                if hn:
+                    raw_bad = False
+                else:
+                    try:
+                        bytes(html).decode("utf-8", "strict")
+                        raw_bad = False
+                    except UnicodeDecodeError:
+                        raw_bad = True
+                bad_utf8.append(raw_bad)
                 if (not tn) and (not hn) and err is None:
                     compared.append(True)
                     mismatch.append(extracted != text)

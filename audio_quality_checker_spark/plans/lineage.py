@@ -42,10 +42,27 @@ LINEAGE_DDL = (
 )
 
 
+def _read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame | None:
+    """Read the lineage table, returning None when it does not exist yet.
+
+    Existence is probed by attempting the read and catching the missing-path
+    AnalysisException: an os.path.exists() check is driver-local and always
+    False on HDFS/S3 — which would silently discard the DONE set and reset
+    the attempt counter on exactly the deployments this module targets."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(lineage_path)
+        df.schema  # force resolution (lazy readers defer the path check)
+        return df
+    except AnalysisException:
+        return None
+
+
 def read_done_partitions(spark: SparkSession, lineage_path: str) -> set[str]:
-    if not os.path.exists(lineage_path):
+    lineage = _read_lineage(spark, lineage_path)
+    if lineage is None:
         return set()
-    lineage = spark.read.parquet(lineage_path)
     return {
         r["partition_key"]
         for r in lineage.where(F.col("status") == "DONE")
@@ -56,9 +73,10 @@ def read_done_partitions(spark: SparkSession, lineage_path: str) -> set[str]:
 
 
 def next_attempt(spark: SparkSession, lineage_path: str) -> int:
-    if not os.path.exists(lineage_path):
+    lineage = _read_lineage(spark, lineage_path)
+    if lineage is None:
         return 1
-    row = spark.read.parquet(lineage_path).agg(F.max("attempt")).collect()[0]
+    row = lineage.agg(F.max("attempt")).collect()[0]
     return (row[0] or 0) + 1
 
 
@@ -89,7 +107,11 @@ def validate_resumable(
         vals: list = sorted(done)
         if isinstance(pages.schema[partition_col].dataType, DateType):
             vals = [dt.date.fromisoformat(v) for v in vals]
-        pages = pages.where(~F.col(partition_col).isin(vals))
+        # keep null partition keys: ~isin() is three-valued and would
+        # silently drop null-p_day rows once any partition is DONE
+        pages = pages.where(
+            ~F.col(partition_col).isin(vals) | F.col(partition_col).isNull()
+        )
     if pages.limit(1).count() == 0:
         return None
 

@@ -109,7 +109,7 @@ def run_checks(
         from audio_quality_checker_spark.operators.fused import fused_features
 
         features = None
-        light = fused_features(pages, bloom)
+        light = fused_features(pages, bloom, task_width=suite.fused_task_width)
     else:
         features = derive_row_features(pages)
         # Cache ONLY the light projection (derived columns + payload

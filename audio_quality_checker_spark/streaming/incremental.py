@@ -10,8 +10,10 @@ and streaming, which is the point of the DataFrame abstraction.
 `foreachBatch` (not a streaming agg) because the checks need multi-pass
 per-batch semantics (persist + several aggregations) that a single
 streaming aggregation cannot express; each micro-batch is effectively one
-crawl-slice validated exactly like a batch partition, with results
-appended per batch id (idempotent on replay: batch id keys the output).
+crawl-slice validated exactly like a batch partition, with results written
+via dynamic partition overwrite keyed by batch_id (idempotent on replay:
+a re-executed epoch replaces its own partition instead of appending
+duplicates).
 
 Also included: a pure streaming stat — per-window ingest counts with
 watermarked event time on `warc_ts` — demonstrating the watermark/window
@@ -55,14 +57,22 @@ def stream_validate(
         if batch_df.isEmpty():
             return
         res = run_checks(spark, batch_df, ref_hosts, baseline, suite)
+        # idempotent on replay: after a crash Structured Streaming re-runs
+        # the last epoch with the SAME batch_id, so the write must replace
+        # that batch's partition, not append a duplicate of it — dynamic
+        # partition overwrite keyed by batch_id touches only the replayed
+        # partition and leaves every earlier batch's output intact.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             res.verdicts.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
             .parquet(f"{results_root}/stream_verdicts")
         )
         (
             res.violations.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
             .parquet(f"{results_root}/stream_violations")
         )
         res.unpersist()

@@ -92,6 +92,50 @@ def test_simhash_finds_planted_pairs(spark, corpus):
     assert hits >= 4, f"simhash found only {hits}/5 planted pairs: {found}"
 
 
+def test_simhash_pigeonhole_recall_hamming_4_to_12(spark):
+    """Round-1 recall bug: 4 fixed 16-bit bands only guarantee recall for
+    hamming <= 3, but the operator was invoked with max_hamming=12.  The
+    banding is now (max_hamming + 1) pigeonhole bands: plant pairs at every
+    hamming distance 4..12 — adversarially spreading the flipped bits so
+    each flip lands in a DIFFERENT 16-bit quarter first (the exact pairs the
+    old 4-band construction missed) — and require all of them recovered."""
+    from audio_quality_checker_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+
+    base = 0x5A5A_C3C3_0F0F_9696
+    rows, expected = [], set()
+    rows.append((0, _to_i64(base)))
+    for h in range(4, 13):
+        # flip h bits, striding 64//h so flips spread across all quarters
+        sig = base
+        stride = 64 // h
+        for j in range(h):
+            sig ^= 1 << (j * stride)
+        doc_id = 100 + h
+        rows.append((doc_id, _to_i64(sig)))
+        expected.add((0, doc_id, h))
+    # a decoy beyond the radius: 20 flipped bits must NOT be reported
+    sig = base
+    for j in range(20):
+        sig ^= 1 << (j * 3)
+    rows.append((999, _to_i64(sig)))
+
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    found = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=12).collect()
+        if r["id_a"] == 0
+    }
+    missing = expected - found
+    assert not missing, f"pigeonhole recall failed: missing {missing}"
+    assert not any(b == 999 for _, b, _ in found), "beyond-radius pair reported"
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
 def test_exact_dup_groups(spark, corpus):
     df, _ = corpus
     groups = exact_dup_groups(df).collect()

@@ -64,6 +64,51 @@ def test_fused_violation_parity(both_modes):
     assert fused["violations"] == two["violations"]
 
 
+def test_fused_bad_utf8_parity_inside_stripped_regions(spark):
+    """Invalid UTF-8 INSIDE a <script> block: extract_text strips the block
+    before decoding (extraction succeeds), but the unfused column counts
+    strict is_valid_utf8 on the RAW bytes — fused mode must match the raw
+    semantics, not the extractor's (round-2 ADVICE parity fix)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from audio_quality_checker_spark.operators.fused import fused_features
+
+    ts = dt.datetime(2025, 11, 1, 12, 0, 0)
+    rows = [
+        # invalid utf-8 only inside <script>: raw-bad, extraction fine
+        ("http://a.example/1", ts,
+         b"<p>ok</p><script>var x = '\xff\xfe';</script>", "ok", "en", "2025-11-01"),
+        # invalid utf-8 in body text: raw-bad AND extraction fails
+        ("http://a.example/2", ts, b"<p>bad \xff here</p>", "bad  here", "en",
+         "2025-11-01"),
+        # clean row
+        ("http://a.example/3", ts, b"<p>clean</p>", "clean", "en", "2025-11-01"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, p_day string",
+    )
+    unfused = {
+        r["url"]: r["bad"]
+        for r in pages.select(
+            "url",
+            (F.col("html").isNotNull() & ~F.expr("is_valid_utf8(html)")).alias("bad"),
+        ).collect()
+    }
+    fused = {
+        r["url"]: (r["html_bad_utf8"], r["ex_compared"])
+        for r in fused_features(pages, None).collect()
+    }
+    for url, want_bad in unfused.items():
+        assert fused[url][0] == want_bad, f"bad_utf8 parity broken for {url}"
+    # script-block row still participates in the byte-identity comparison
+    assert fused["http://a.example/1"][1] is True
+    assert fused["http://a.example/2"][1] is False
+
+
 def test_fused_matches_expected_golden(spark, golden, both_modes):
     fused, _ = both_modes
     verdicts = {pk: passed for pk, passed, _, _ in fused["verdicts"]}
