@@ -24,6 +24,7 @@ from dataclasses import dataclass, field, replace
 class CheckSuite:
     # ---- which checks run (detector.rs:145-152 analog) ----
     check_column_stats: bool = True
+    check_schema: bool = True            # declared-vs-observed schema + domains
     check_uniqueness: bool = True
     check_referential: bool = True
     check_drift: bool = True
@@ -41,6 +42,7 @@ class CheckSuite:
     max_ks_stat: float = 0.15            # sup |CDF_a - CDF_b| on binned CDFs
     max_extraction_mismatch_rate: float = 0.01
     max_extraction_error_rate: float = 0.02
+    max_schema_violation_rate: float = 0.01  # declared-domain nonconformance
     min_text_len_p50: float = 64.0       # median extracted-text length floor
 
     # extraction re-derivation sample fraction (upsampling null-test analog,

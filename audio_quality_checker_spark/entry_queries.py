@@ -760,6 +760,65 @@ def q_quality_scores(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# schema_check — declared-domain conformance counting (the namesake check,
+# operators/schema_check.py) over the documents table.  max_num is set BELOW
+# the corpus length ceiling on purpose so the counts are non-zero and the
+# oracle proves the predicate, not just the zero case.
+# ---------------------------------------------------------------------------
+
+def q_schema_check(spark, sf):
+    from audio_quality_checker_spark.operators.schema_check import (
+        ISO_639_1,
+        ColumnExpectation,
+        TableExpectation,
+        with_conformance_flags,
+    )
+
+    exp = TableExpectation(
+        columns=(
+            ColumnExpectation("doc_id", ("bigint",), nullable=False, min_num=0),
+            ColumnExpectation("lang", ("string",), allowed_values=ISO_639_1),
+            ColumnExpectation("source", ("string",), pattern=r"^src[0-9]+$"),
+            ColumnExpectation("n_chars", ("bigint",), min_num=1, max_num=300),
+        )
+    )
+    d = load(spark, sf, "documents")
+    flagged = with_conformance_flags(d, exp)
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt("sv_doc_id").alias("n_bad_doc_id"),
+        cnt("sv_lang").alias("n_bad_lang"),
+        cnt("sv_source").alias("n_bad_source"),
+        cnt("sv_n_chars").alias("n_bad_n_chars"),
+    )
+
+
+def _sql_iso_list() -> str:
+    from audio_quality_checker_spark.operators.schema_check import ISO_639_1
+
+    return ", ".join(f"'{c}'" for c in sorted(ISO_639_1))
+
+
+SQL_SCHEMA_CHECK = f"""
+SELECT source,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL OR doc_id < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_doc_id,
+       CAST(sum(CASE WHEN lang IS NOT NULL
+                      AND lang NOT IN ({_sql_iso_list()})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+       CAST(sum(CASE WHEN source IS NOT NULL
+                      AND NOT regexp_matches(source, '^src[0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_source,
+       CAST(sum(CASE WHEN n_chars IS NOT NULL
+                      AND (n_chars < 1 OR n_chars > 300)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_n_chars
+FROM documents GROUP BY source
+"""
+
+
 # rollup — hierarchical sub-reports (SURVEY.md §2.4: the engine's
 # per-lang sub-report mechanism, heir of the per-band analyses)
 def q_rollup_report(spark, sf):
@@ -837,6 +896,7 @@ REGISTRY: dict[str, tuple] = {
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "rollup_report": (q_rollup_report, SQL_ROLLUP_REPORT),
+    "schema_check": (q_schema_check, SQL_SCHEMA_CHECK),
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_dedup": (q_simhash_dedup, None),

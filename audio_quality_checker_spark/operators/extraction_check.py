@@ -74,9 +74,15 @@ def mismatch_stats(features: DataFrame, suite: CheckSuite) -> DataFrame:
             compared = []
             mismatched = []
             for html, text in zip(pdf["html"], pdf["text"]):
-                extracted, err = extract_text_safe(
-                    bytes(html) if html is not None else None
+                # only normalize genuine byte payloads; anything else goes
+                # through as-is so extract_text_safe classifies it as a
+                # per-row error (poison rows must not kill the task)
+                payload = (
+                    bytes(html)
+                    if isinstance(html, (bytes, bytearray, memoryview))
+                    else html
                 )
+                extracted, err = extract_text_safe(payload)
                 if err is None:
                     compared.append(True)
                     mismatched.append(extracted != text)

@@ -112,14 +112,19 @@ def fused_features(pages: DataFrame, bloom: BloomFilter | None,
                 tl = None if tn else len(text)
                 text_len.append(tl)
                 len_bin.append(_len_bin(tl))
-                extracted, err = extract_text_safe(
-                    bytes(html) if html is not None else None
+                payload = (
+                    bytes(html)
+                    if isinstance(html, (bytes, bytearray, memoryview))
+                    else html
                 )
+                extracted, err = extract_text_safe(payload)
                 # parity with the unfused column (stats.py is_valid_utf8 on
                 # the RAW bytes): extract_text decodes only AFTER stripping
                 # script/style/comments, so invalid UTF-8 inside a stripped
                 # region succeeds there but must still flag here
-                if hn:
+                if hn or not isinstance(html, (bytes, bytearray, memoryview)):
+                    # non-binary payloads match is_valid_utf8's semantics on
+                    # a STRING column: already decoded, never "bad utf-8"
                     raw_bad = False
                 else:
                     try:

@@ -103,6 +103,11 @@ def partition_stats(features: DataFrame, exact: bool = False) -> DataFrame:
         # the feature rows (operators/fused.py)
         extra.append(cond(F.col("ex_compared")).alias("n_ex_compared"))
         extra.append(cond(F.col("ex_mismatch")).alias("n_ex_mismatch"))
+    for c in features.columns:
+        # schema-conformance flags (operators/schema_check.py) counted in
+        # the SAME single wide pass — the namesake check costs no extra scan
+        if c.startswith("sv_"):
+            extra.append(cond(F.col(c)).alias(f"n_{c}"))
     return features.groupBy("p_day").agg(
         *extra,
         F.count(F.lit(1)).alias("n_rows"),

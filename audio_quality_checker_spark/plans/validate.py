@@ -87,11 +87,23 @@ def run_checks(
     baseline: DataFrame | None,
     suite: CheckSuite | None = None,
     exact: bool = False,
+    expected_schema=None,
 ) -> ValidationResult:
     """The engine's ``run_checks(df, suite) -> (results, violations)``
     public surface (SURVEY.md §2.11).  ``exact=True`` switches HLL++ to
-    exact distinct counts (small-scale oracle mode)."""
+    exact distinct counts (small-scale oracle mode).  ``expected_schema``
+    (a schema_check.TableExpectation) defaults to the Common-Crawl pages
+    declaration when the schema check is enabled."""
     suite = suite or CheckSuite()
+
+    from audio_quality_checker_spark.operators.schema_check import (
+        PAGES_EXPECTATION,
+        schema_violations,
+        structural_violations,
+        with_conformance_flags,
+    )
+
+    expected = expected_schema or PAGES_EXPECTATION
 
     bloom = (
         build_bloom(ref_hosts, "host")
@@ -110,6 +122,8 @@ def run_checks(
 
         features = None
         light = fused_features(pages, bloom, task_width=suite.fused_task_width)
+        if suite.check_schema:
+            light = with_conformance_flags(light, expected)
     else:
         features = derive_row_features(pages)
         # Cache ONLY the light projection (derived columns + payload
@@ -120,6 +134,10 @@ def run_checks(
         # extraction-identity check) re-reads html+text straight from the
         # source with parquet column pruning.
         light = light_features(features)
+        if suite.check_schema:
+            # value-conformance flags are pure Catalyst expressions; their
+            # counts ride the one wide stats pass below (zero extra scans)
+            light = with_conformance_flags(light, expected)
         if bloom is not None:
             # Bloom probe applied to the LIGHT frame only: a pandas UDF
             # node buffers its input rows JVM-side while Python evaluates,
@@ -161,6 +179,23 @@ def run_checks(
         frames.append(
             stats_violations(stats, suite).where(
                 F.col("violation_type").isin(*enabled_types)
+            )
+        )
+    if suite.check_schema:
+        # per-partition declared-domain violations from the stats counts
+        frames.append(schema_violations(stats, suite, expected))
+        # table-level structural break (missing / wrongly-typed column)
+        # fails EVERY partition: attach each partition key to the (almost
+        # always empty) structural rows — stats is one row per partition,
+        # so this cross join is tiny-by-tiny
+        structural = structural_violations(spark, pages, expected)
+        frames.append(
+            stats.select(F.col("p_day"))
+            .crossJoin(structural.drop("partition_key"))
+            .select(
+                F.col("p_day").alias("partition_key"),
+                "violation_type", "column_name", "confidence", "evidence",
+                "params",
             )
         )
     if suite.check_drift and baseline is not None:

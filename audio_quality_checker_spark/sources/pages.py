@@ -87,6 +87,9 @@ CATEGORIES: list[tuple[str, bool, tuple[str, ...]]] = [
     ("MalformedHtml", False, ("ExtractionError",)),
     ("Combined_Dup_Drift", False, ("UniquenessViolation", "DistributionDrift")),
     ("SkewHost", True, ()),
+    # declared-domain nonconformance: non-ISO-639-1 lang labels + warc_ts
+    # outside the declared crawl range (the claimed/actual schema check)
+    ("SchemaDrift", False, ("SchemaViolation",)),
 ]
 CATEGORY_NAMES = [c[0] for c in CATEGORIES]
 _CAT_ID = {name: i for i, (name, _, _) in enumerate(CATEGORIES)}
@@ -157,6 +160,7 @@ def make_page(category: str, idx: int, seed: int = SEED) -> dict:
         url = _make_url(cat_id, idx - 1, seed)  # duplicate the previous row's url
 
     text: str | None = extract_text(html)
+    bad_ts = False
     if category == "MalformedHtml" and rng_def.uniform() < 0.05:
         html = html[: len(html) // 2] + b"\xff\xfe\xf8 corrupt trailer \xff"
         text = ""  # what a broken upstream extractor would have stored
@@ -165,8 +169,23 @@ def make_page(category: str, idx: int, seed: int = SEED) -> dict:
     elif category == "NullStorm" and rng_def.uniform() < 0.20:
         text = None
         lang = None
+    elif category == "SchemaDrift":
+        # rates chosen so PSI/KS on the lang histogram stay well under the
+        # drift gates (one category, one firing check): at 1.5% over three
+        # unseen bins the smoothed PSI is ~0.06 vs the 0.2 gate; the
+        # timestamp defect carries the headline rate because it has zero
+        # distribution-histogram footprint
+        r = rng_def.uniform()
+        if r < 0.015:
+            lang = ["english", "EN_US", "xx!"][rng_def.randint(0, 3)]
+        elif r < 0.065:
+            bad_ts = True  # epoch-zero timestamps: out of declared range
 
     ts = CRAWL_START + dt.timedelta(days=cat_id, seconds=idx % 86_400)
+    if bad_ts:
+        ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            seconds=idx % 86_400
+        )
     return {
         "url": url,
         "warc_ts": ts.replace(tzinfo=None),  # Spark session TZ pinned to UTC

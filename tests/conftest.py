@@ -11,7 +11,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def golden(spark):
-    """The golden fixture set: pages (all 12 categories), ref_hosts,
+    """The golden fixture set: pages (all 13 categories), ref_hosts,
     baseline snapshot, expected verdicts — generated once per session."""
     from audio_quality_checker_spark.sources.pages import (
         baseline_snapshot_pdf,

@@ -1,0 +1,119 @@
+"""Schema validation: the claimed/actual/inferred provenance triple
+(decoder.rs:81-91/165-198, detector.rs:102-103 re-imagined for tables),
+structural breaks failing every partition, and value-domain conformance."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from audio_quality_checker_spark.config import CheckSuite
+from audio_quality_checker_spark.operators.schema_check import (
+    PAGES_EXPECTATION,
+    ColumnExpectation,
+    TableExpectation,
+    schema_report,
+    structural_violations,
+    with_conformance_flags,
+)
+from audio_quality_checker_spark.plans.validate import run_checks
+
+TS = dt.datetime(2025, 11, 1, 12, 0, 0)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, p_day string",
+    )
+
+
+def test_schema_report_statuses(spark):
+    """ok / type_mismatch / missing / derived / inferred all in one table."""
+    exp = TableExpectation(
+        columns=(
+            ColumnExpectation("url", ("string",)),
+            ColumnExpectation("warc_ts", ("timestamp",)),
+            ColumnExpectation("gone", ("string",)),           # absent: missing
+            ColumnExpectation("p_day", ("string",), required=False),
+        )
+    )
+    df = spark.createDataFrame(
+        [("u", 1, 2.5)], "url string, warc_ts int, extra double"
+    )  # warc_ts wrongly typed; extra undeclared; p_day absent but derivable
+    rep = {r["column"]: r for r in schema_report(spark, df, exp).collect()}
+    assert rep["url"]["status"] == "ok"
+    assert rep["warc_ts"]["status"] == "type_mismatch"
+    assert rep["warc_ts"]["actual_type"] == "int"
+    assert rep["gone"]["status"] == "missing"
+    assert rep["p_day"]["status"] == "derived"
+    # observed-but-undeclared column: expectation inferred from the data,
+    # the bit-depth fallback-chain provenance
+    assert rep["extra"]["provenance"] == "inferred"
+    assert rep["extra"]["status"] == "inferred"
+    assert rep["extra"]["claimed_type"] == "double"
+
+
+def test_structural_violation_rows(spark):
+    df = spark.createDataFrame([("u", 1)], "url string, warc_ts int")
+    rows = structural_violations(spark, df, PAGES_EXPECTATION).collect()
+    got = {(r["column_name"], r["params"]["status"]) for r in rows}
+    assert ("warc_ts", "type_mismatch") in got
+    assert ("html", "missing") in got
+    assert all(r["violation_type"] == "SchemaViolation" for r in rows)
+
+
+def test_conformance_flags(spark):
+    rows = [
+        ("https://ok.example/x", TS, b"<p>a</p>", "a", "en", "2025-11-01"),
+        ("notaurl", TS, b"<p>a</p>", "a", "en", "2025-11-01"),          # bad url
+        ("https://ok.example/y", TS, b"<p>a</p>", "a", "english", "2025-11-01"),  # bad lang
+        ("https://ok.example/z", dt.datetime(1970, 1, 2), b"<p>a</p>", "a",
+         "en", "2025-11-01"),                                           # bad ts
+        (None, TS, b"<p>a</p>", "a", None, "2025-11-01"),               # null url
+    ]
+    flagged = with_conformance_flags(_pages(spark, rows), PAGES_EXPECTATION)
+    got = flagged.select("sv_url", "sv_lang", "sv_warc_ts").collect()
+    assert [tuple(r) for r in got] == [
+        (False, False, False),
+        (True, False, False),
+        (False, True, False),
+        (False, False, True),
+        (True, False, False),  # null url violates nullable=False
+    ]
+    # null lang is allowed (nullable column): no flag on row 5
+    assert got[4]["sv_lang"] is False
+
+
+def test_structural_break_fails_every_partition(spark):
+    """A wrongly-typed column poisons the whole run: every crawl-day
+    partition must fail, not just one."""
+    rows = [
+        (f"https://h{i}.example/x", TS + dt.timedelta(days=i % 2),
+         "html-as-string", "a", "en", f"2025-11-0{1 + i % 2}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html string, text string, "
+        "lang string, p_day string",
+    )  # html declared binary, observed string
+    res = run_checks(spark, df, None, None, suite=CheckSuite(), exact=True)
+    verdicts = {r["partition_key"]: r for r in res.verdicts.collect()}
+    res.unpersist()
+    assert set(verdicts) == {"2025-11-01", "2025-11-02"}
+    for pk, r in verdicts.items():
+        assert not r["passed"], f"{pk} passed despite structural schema break"
+        assert "SchemaViolation" in r["violation_types"]
+
+
+def test_disabled_schema_check_emits_nothing(spark):
+    rows = [("notaurl", TS, b"<p>a</p>", "a", "english", "2025-11-01")] * 5
+    df = _pages(spark, rows)
+    res = run_checks(
+        spark, df, None, None, suite=CheckSuite(check_schema=False), exact=True
+    )
+    types = {r["violation_type"] for r in res.violations.collect()}
+    res.unpersist()
+    assert "SchemaViolation" not in types
