@@ -33,6 +33,9 @@ class CheckSuite:
     # detector.rs:161-173)
     check_extraction_full: bool = False  # re-extract EVERY row, not a sample
     check_exact_ks: bool = False         # exact KS oracle (sorts a sample)
+    check_trend: bool = False            # day-over-day trend regression:
+    # only meaningful when the run's partitions form ONE time series (a
+    # rolling production crawl), not unrelated category days
 
     # ---- thresholds (detector.rs:153-159 analog) ----
     max_null_rate: float = 0.05          # per column
@@ -43,6 +46,9 @@ class CheckSuite:
     max_extraction_mismatch_rate: float = 0.01
     max_extraction_error_rate: float = 0.02
     max_schema_violation_rate: float = 0.01  # declared-domain nonconformance
+    trend_window: int = 7                # trailing days in the trend slope
+    max_trend_shift: float = 0.5         # stddev-normalized drift across window
+    ks_sample_fraction: float = 0.10     # sample for the exact-KS oracle
     min_text_len_p50: float = 64.0       # median extracted-text length floor
 
     # extraction re-derivation sample fraction (upsampling null-test analog,
@@ -78,6 +84,7 @@ class CheckSuite:
             "ExtractionMismatch": 0.60,
             "ExtractionError": 0.50,
             "SchemaViolation": 0.60,
+            "TrendDrift": 0.40,
         }
     )
     default_penalty: float = 0.50

@@ -761,6 +761,75 @@ def q_quality_scores(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# corr_stats — Pearson correlation + stddev consistency in one agg pass
+# (stereo channel correlation heir, stereo.rs:142-166; stddev-based
+# confidence, spectral.rs:381-392).  These ride partition_stats in the
+# engine (stats.py len_stddev / corr_html_text); here oracled standalone.
+# ---------------------------------------------------------------------------
+
+def q_corr_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    return d.groupBy("source").agg(
+        F.round(F.corr(F.col("n_chars").cast("double"), toks), 6).alias(
+            "corr_chars_tokens"
+        ),
+        F.round(F.stddev_pop("n_chars"), 6).alias("chars_stddev"),
+        F.round(
+            F.stddev_pop("n_chars") / F.avg("n_chars"), 6
+        ).alias("chars_cv"),
+    )
+
+
+SQL_CORR_STATS = """
+SELECT source,
+       round(corr(n_chars * 1.0,
+                  len(regexp_split_to_array(trim(text), '\\s+')) * 1.0), 6)
+         AS corr_chars_tokens,
+       round(stddev_pop(n_chars), 6) AS chars_stddev,
+       round(stddev_pop(n_chars) / avg(n_chars), 6) AS chars_cv
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# trend_slope — sliding-window least-squares slope via covar_pop/var_pop
+# (the MFCC delta-feature heir, mfcc.rs:276-305: delta coefficients ARE a
+# regression slope over a +-2-frame window).  Engine use: drift.py
+# trend_violations over the per-day stats series.
+# ---------------------------------------------------------------------------
+
+def q_trend_slope(spark, sf):
+    e = load(spark, sf, "events")
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w_seq.rowsBetween(-2, 2)
+    seq = F.row_number().over(w_seq).cast("double")
+    staged = e.select("user_id", "event_id", "ts", "value", seq.alias("seq"))
+    wr2 = (
+        W.partitionBy("user_id").orderBy("seq").rowsBetween(-2, 2)
+    )
+    slope = F.covar_pop("value", "seq").over(wr2) / F.var_pop("seq").over(wr2)
+    return staged.select(
+        "user_id", "event_id", F.round(slope, 6).alias("slope")
+    )
+
+
+SQL_TREND_SLOPE = """
+WITH seqd AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS DOUBLE) AS seq
+  FROM events
+)
+SELECT user_id, event_id,
+       round(covar_pop(value, seq) OVER w / var_pop(seq) OVER w, 6) AS slope
+FROM seqd
+WINDOW w AS (PARTITION BY user_id ORDER BY seq
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
 # schema_check — declared-domain conformance counting (the namesake check,
 # operators/schema_check.py) over the documents table.  max_num is set BELOW
 # the corpus length ceiling on purpose so the counts are non-zero and the
@@ -897,6 +966,8 @@ REGISTRY: dict[str, tuple] = {
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "rollup_report": (q_rollup_report, SQL_ROLLUP_REPORT),
     "schema_check": (q_schema_check, SQL_SCHEMA_CHECK),
+    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+    "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_dedup": (q_simhash_dedup, None),

@@ -122,6 +122,129 @@ def drift_violations(dist: DataFrame, baseline: DataFrame, suite: CheckSuite) ->
     return psi_v.unionByName(ks_v)
 
 
+def trend_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
+    """Day-over-day trend drift: the regression slope of len_avg across the
+    trailing ``trend_window`` crawl days, computed as
+    covar_pop(len_avg, day_seq) / var_pop(day_seq) over an ordered window —
+    the MFCC-delta window-regression heir (mfcc.rs:276-305: delta features
+    are exactly a least-squares slope over a +-N-frame window).
+
+    The slope is normalized by the partition's len_stddev (stddev-based
+    confidence, spectral.rs:381-392): a 30-char/day drift matters when
+    documents are tightly clustered and is noise when lengths vary wildly.
+    Runs over the tiny per-partition stats frame — zero row-level cost.
+    Opt-in (suite.check_trend): a trend is only meaningful for a run whose
+    partitions form one time series, not for unrelated category days.
+    """
+    w_full = W.orderBy("p_day")
+    seq = F.row_number().over(w_full)
+    s = stats.select(
+        "p_day", "len_avg", "len_stddev", seq.alias("day_seq")
+    ).withColumn("n_days", F.count(F.lit(1)).over(
+        W.orderBy("day_seq").rowsBetween(-(suite.trend_window - 1), 0)
+    ))
+    wr_seq = W.orderBy("day_seq").rowsBetween(-(suite.trend_window - 1), 0)
+    slope = F.covar_pop("len_avg", "day_seq").over(wr_seq) / F.var_pop(
+        "day_seq"
+    ).over(wr_seq)
+    s = s.withColumn("slope", slope)
+    # total drift across the window, in units of the day's dispersion
+    shift = F.abs(F.col("slope")) * (suite.trend_window - 1) / F.greatest(
+        F.col("len_stddev"), F.lit(1.0)
+    )
+    return (
+        s.where(F.col("n_days") >= suite.trend_window)
+        .select(
+            *violation_row(
+                F.col("p_day"),
+                "TrendDrift",
+                "text",
+                graded_confidence(shift, suite.max_trend_shift),
+                F.format_string(
+                    "len_avg trend slope %.3f/day shifts %.3f stddevs over "
+                    "%d days (gate %.3f)",
+                    F.col("slope"), shift, F.lit(suite.trend_window),
+                    F.lit(suite.max_trend_shift),
+                ),
+                {"slope_per_day": F.col("slope"), "stddev_shift": shift},
+            )
+        )
+        .where(F.col("confidence") > 0)
+    )
+
+
+BASELINE_SAMPLE_KEY = "text_len_sample"
+
+
+def exact_ks_violations(features: DataFrame, baseline: DataFrame,
+                        suite: CheckSuite) -> DataFrame:
+    """Sampled EXACT two-sample KS per partition vs raw baseline lengths —
+    the opt-in oracle-grade drift check (suite.check_exact_ks; the binned
+    KS above is the scale path).  The baseline snapshot carries a seeded
+    raw-length sample under column_name='text_len_sample'; snapshots
+    without it (older format) skip the check gracefully.
+
+    Shape: seeded sample of (p_day, text_len) -> applyInPandas per p_day
+    computing exact_ks_numpy against the broadcast baseline sample.  The
+    sample cap keeps the per-group sort bounded at any scale.
+    """
+    import pandas as pd
+
+    base_rows = (
+        baseline.where(F.col("column_name") == BASELINE_SAMPLE_KEY)
+        .select("bin")
+        .collect()
+    )
+    spark = features.sparkSession
+    if not base_rows:
+        from audio_quality_checker_spark.operators.schema import (
+            empty_violations,
+        )
+
+        return empty_violations(spark)
+    base_sample = np.array([float(r["bin"]) for r in base_rows])
+    bcast = spark.sparkContext.broadcast(base_sample)
+    thr = suite.max_ks_stat
+
+    sampled = (
+        features.select("p_day", "text_len")
+        .where(F.col("text_len").isNotNull())
+        .sample(fraction=suite.ks_sample_fraction,
+                seed=suite.extraction_sample_seed)
+    )
+
+    def per_day(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["text_len"].to_numpy(dtype=np.float64))
+        if v.size > 200_000:
+            # CDF-preserving stride subsample of the SORTED values: keeps
+            # the group bounded at any scale and is deterministic
+            # regardless of the arrival order of the sampled rows
+            idx = np.linspace(0, v.size - 1, 200_000).astype(np.int64)
+            v = v[idx]
+        ks = exact_ks_numpy(v, bcast.value)
+        return pd.DataFrame(
+            {"p_day": [pdf["p_day"].iloc[0]], "ks_exact": [ks],
+             "n_sampled": [len(pdf)]}
+        )
+
+    m = sampled.groupBy("p_day").applyInPandas(
+        per_day, schema="p_day string, ks_exact double, n_sampled long"
+    )
+    return m.select(
+        *violation_row(
+            F.col("p_day"),
+            "DistributionDrift",
+            "text_len",
+            graded_confidence(F.col("ks_exact"), thr),
+            F.format_string(
+                "exact KS %.4f exceeds %.4f on text_len (%d sampled rows)",
+                F.col("ks_exact"), F.lit(thr), F.col("n_sampled"),
+            ),
+            {"metric": F.lit("ks_exact"), "value": F.col("ks_exact")},
+        )
+    ).where(F.col("confidence") > 0)
+
+
 def exact_ks_numpy(a: np.ndarray, b: np.ndarray) -> float:
     """Exact two-sample KS statistic (numpy, no scipy) — the small-scale
     oracle for the binned KS (SURVEY.md §7 known-hard #4)."""

@@ -128,6 +128,21 @@ def partition_stats(features: DataFrame, exact: bool = False) -> DataFrame:
         F.min("text_len").alias("len_min"),
         F.max("text_len").alias("len_max"),
         F.avg("text_len").alias("len_avg"),
+        # dispersion + cross-column agreement in the SAME pass:
+        # stddev_pop is the consistency statistic (stddev-based confidence,
+        # spectral.rs:381-392) and Pearson corr(html_len, text_len) is the
+        # two-channel correlation heir (stereo.rs:142-166) — extracted text
+        # length should track its html source; decorrelation marks a
+        # partition whose payloads and text columns disagree
+        F.stddev_pop("text_len").alias("len_stddev"),
+        # Pearson corr spelled as covar_pop/(std*std): identical to F.corr
+        # (the n-1 factors cancel) but try_divide-safe — ANSI mode makes
+        # F.corr raise DIVIDE_BY_ZERO on a zero-variance partition, and a
+        # degenerate partition must yield null, not kill the run
+        F.try_divide(
+            F.covar_pop("html_len", "text_len"),
+            F.stddev_pop("html_len") * F.stddev_pop("text_len"),
+        ).alias("corr_html_text"),
         F.percentile_approx("text_len", [0.5, 0.95], 2_000).alias("len_p50_p95"),
         F.max("html_len").alias("html_len_max"),
         F.min("warc_ts").alias("ts_min"),

@@ -202,6 +202,21 @@ def run_checks(
         frames.append(
             drift_violations(distribution_counts_all(light), baseline, suite)
         )
+        if suite.check_exact_ks:
+            # opt-in exact-KS oracle on a seeded raw-length sample (the
+            # binned KS above is the scale path; this is the FULL-suite
+            # qualification cross-check)
+            from audio_quality_checker_spark.operators.drift import (
+                exact_ks_violations,
+            )
+
+            frames.append(exact_ks_violations(light, baseline, suite))
+    if suite.check_trend:
+        from audio_quality_checker_spark.operators.drift import (
+            trend_violations,
+        )
+
+        frames.append(trend_violations(stats, suite))
     if suite.check_extraction and not fused:
         # sampled mode: the only payload consumer reads html+text from the
         # SOURCE scan (column-pruned), not from the cache

@@ -276,9 +276,15 @@ def baseline_snapshot_pdf(n_rows: int = 4000, seed: int = SEED,
     lang_counts = pdf["lang"].fillna("__null__").value_counts()
     for bin_label, cnt in lang_counts.items():
         out.append(("lang", str(bin_label), int(cnt)))
-    lens = pdf["text"].str.len().fillna(0).astype(int).map(len_bin_label)
+    lens_raw = pdf["text"].str.len().fillna(0).astype(int)
+    lens = lens_raw.map(len_bin_label)
     for bin_label, cnt in lens.value_counts().items():
         out.append(("text_len", str(bin_label), int(cnt)))
+    # raw-length sample for the opt-in EXACT two-sample KS oracle
+    # (drift.exact_ks_violations); capped so the snapshot stays tiny.
+    # Snapshots without these rows skip the exact check gracefully.
+    for v in lens_raw.iloc[:2000]:
+        out.append(("text_len_sample", str(int(v)), 1))
     snap = pd.DataFrame(out, columns=["column_name", "bin", "count"])
     snap.insert(0, "snapshot_id", snapshot_id)
     snap["total"] = snap.groupby("column_name")["count"].transform("sum")
