@@ -66,6 +66,15 @@ class CheckSuite:
 
     # ---- verdict assembly (detector.rs:360-376 analog) ----
     min_confidence: float = 0.5          # final violation filter
+    # corroboration gate (detector.rs:341-358): a violation at the weakest
+    # reportable tier survives only when ANOTHER violation fires on the
+    # same partition — prefer false negatives over lone borderline signals
+    corroboration_gate: bool = True
+    corroboration_weak_tier: float = 0.65
+    # agreement boost (upsampling.rs:351-398): same-type detections from
+    # independent checks on one partition corroborate each other
+    agreement_boost: float = 0.10
+    max_boosted_confidence: float = 0.95
     pass_score_threshold: float = 0.7    # detector.rs:362-371
     # penalty per violation type for the multiplicative score fold
     # (detector.rs:744-772); types absent here default to `default_penalty`

@@ -760,6 +760,216 @@ def q_quality_scores(spark, sf):
     )
 
 
+def _sql_quality_scores() -> str:
+    # mirror of text_stats.quality_features + quality_score_col: the same
+    # 20 stopwords, the same non-overlapping replace() counting, the same
+    # penalty ladder — proving the expression-only scorer end to end
+    from audio_quality_checker_spark.functions.text_stats import _STOPWORDS
+
+    stop_terms = " + ".join(
+        "(length(p) - length(replace(p, ' {w} ', ''))) / {n}".format(
+            w=w, n=len(w) + 2
+        )
+        for w in _STOPWORDS
+    )
+    return f"""
+WITH feats AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+           * 1.0 / length(text) AS punct_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           * 1.0 / length(text) AS digit_ratio,
+         ({stop_terms})
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+  FROM (SELECT source, text, ' ' || lower(text) || ' ' AS p FROM documents)
+), scored AS (
+  SELECT source, stopword_ratio,
+         round((1 - CASE WHEN n_tokens < 20 THEN 0.5
+                         WHEN n_tokens < 50 THEN 0.2 ELSE 0.0 END)
+               * (1 - CASE WHEN punct_ratio > 0.3 THEN 0.5
+                           WHEN punct_ratio > 0.15 THEN 0.2 ELSE 0.0 END)
+               * (1 - CASE WHEN digit_ratio > 0.3 THEN 0.4 ELSE 0.0 END)
+               * (1 - CASE WHEN stopword_ratio < 0.01 THEN 0.2 ELSE 0.0 END),
+               6) AS q
+  FROM feats
+)
+SELECT source, round(avg(q), 6) AS avg_quality,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio
+FROM scored GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# transients — two-sided window compare (find_transients heir,
+# dsp.rs:295-321: a transient is where max(next window) >> max(prev
+# window)).  Day-over-day changepoint shape for a metric stream.
+# ---------------------------------------------------------------------------
+
+def q_transients(spark, sf):
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max = F.max("value").over(w.rowsBetween(-5, -1))
+    next_max = F.max("value").over(w.rowsBetween(0, 4))
+    staged = e.select(
+        "user_id", "event_id", (next_max / prev_max).alias("ratio")
+    )
+    return staged.where(F.col("ratio") > 2.0).select(
+        "user_id", "event_id", F.round("ratio", 6).alias("jump_ratio")
+    )
+
+
+SQL_TRANSIENTS = """
+WITH wins AS (
+  SELECT user_id, event_id,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS prev_max,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS next_max
+  FROM events
+)
+SELECT user_id, event_id, round(next_max / prev_max, 6) AS jump_ratio
+FROM wins WHERE next_max / prev_max > 2.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# band_contrast — top-20% vs bottom-20% band comparison (the spectral
+# band-contrast statistic: ntile bands, then contrast of band means)
+# ---------------------------------------------------------------------------
+
+def q_band_contrast(spark, sf):
+    li = load(spark, sf, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey",
+                                              "l_linenumber")
+    banded = li.select(
+        "l_returnflag", "l_extendedprice", F.ntile(5).over(w).alias("band")
+    )
+    top = F.avg(F.when(F.col("band") == 5, F.col("l_extendedprice")))
+    bot = F.avg(F.when(F.col("band") == 1, F.col("l_extendedprice")))
+    return banded.groupBy("l_returnflag").agg(
+        F.round(top, 4).alias("top_band_avg"),
+        F.round(bot, 4).alias("bottom_band_avg"),
+        F.round(top / bot, 6).alias("contrast"),
+    )
+
+
+SQL_BAND_CONTRAST = """
+WITH banded AS (
+  SELECT l_returnflag, l_extendedprice,
+         ntile(5) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS band
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(avg(CASE WHEN band = 5 THEN l_extendedprice END), 4)
+         AS top_band_avg,
+       round(avg(CASE WHEN band = 1 THEN l_extendedprice END), 4)
+         AS bottom_band_avg,
+       round(avg(CASE WHEN band = 5 THEN l_extendedprice END)
+             / avg(CASE WHEN band = 1 THEN l_extendedprice END), 6)
+         AS contrast
+FROM banded GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# deviation_join — frame-to-group-mean variance join (the frame-vs-mean
+# comparison: per-group mean broadcast back onto the rows, then deviation
+# statistics over the joined frame)
+# ---------------------------------------------------------------------------
+
+def q_deviation_join(spark, sf):
+    d = load(spark, sf, "documents")
+    means = d.groupBy("lang").agg(F.avg("n_chars").alias("lang_mean"))
+    j = d.join(F.broadcast(means), "lang")
+    dev = (F.col("n_chars") - F.col("lang_mean")) / F.col("lang_mean")
+    return j.groupBy("lang").agg(
+        F.round(F.avg(F.abs(dev)), 6).alias("mean_abs_rel_dev"),
+        F.sum(F.when(F.abs(dev) > 0.5, 1).otherwise(0)).alias("n_outliers"),
+    )
+
+
+SQL_DEVIATION_JOIN = """
+WITH means AS (
+  SELECT lang, avg(n_chars) AS lang_mean FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       round(avg(abs((n_chars - lang_mean) / lang_mean)), 6)
+         AS mean_abs_rel_dev,
+       CAST(sum(CASE WHEN abs((n_chars - lang_mean) / lang_mean) > 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d JOIN means USING (lang)
+GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# diff_p95 — percentile of successive differences (noise-floor estimate
+# heir: the reference estimates noise as a low percentile of frame-to-frame
+# deltas; here p95/p50 of |first difference| per user)
+# ---------------------------------------------------------------------------
+
+def q_diff_p95(spark, sf):
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.abs(F.col("value") - F.lag("value").over(w))
+    staged = e.select("user_id", d.alias("ad")).where(F.col("ad").isNotNull())
+    return staged.groupBy("user_id").agg(
+        F.round(F.percentile("ad", 0.5), 6).alias("diff_p50"),
+        F.round(F.percentile("ad", 0.95), 6).alias("diff_p95"),
+    )
+
+
+SQL_DIFF_P95 = """
+WITH diffs AS (
+  SELECT user_id,
+         abs(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS ad
+  FROM events
+)
+SELECT user_id,
+       round(quantile_cont(ad, 0.5), 6) AS diff_p50,
+       round(quantile_cont(ad, 0.95), 6) AS diff_p95
+FROM diffs WHERE ad IS NOT NULL GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# array_pos_agg — posexplode an array column and aggregate per position
+# (array-element aggregation: per-coefficient stats over vector columns)
+# ---------------------------------------------------------------------------
+
+def q_array_pos_agg(spark, sf):
+    e = load(spark, sf, "embeddings")
+    pos = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "x")
+    )
+    return (
+        pos.where(F.col("pos") < 8)
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.stddev_pop("x"), 6).alias("std_x"),
+        )
+    )
+
+
+SQL_ARRAY_POS_AGG = """
+WITH pos AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+SELECT label, pos, round(avg(x), 6) AS mean_x,
+       round(stddev_pop(x), 6) AS std_x
+FROM pos WHERE pos < 8 GROUP BY label, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # corr_stats — Pearson correlation + stddev consistency in one agg pass
 # (stereo channel correlation heir, stereo.rs:142-166; stddev-based
@@ -809,8 +1019,10 @@ def q_trend_slope(spark, sf):
         W.partitionBy("user_id").orderBy("seq").rowsBetween(-2, 2)
     )
     slope = F.covar_pop("value", "seq").over(wr2) / F.var_pop("seq").over(wr2)
+    # + 0.0 normalizes IEEE negative zero: a ~1e-16 slope rounds to -0.0 in
+    # one engine and 0.0 in the other, and their reprs hash differently
     return staged.select(
-        "user_id", "event_id", F.round(slope, 6).alias("slope")
+        "user_id", "event_id", (F.round(slope, 6) + F.lit(0.0)).alias("slope")
     )
 
 
@@ -822,7 +1034,8 @@ WITH seqd AS (
   FROM events
 )
 SELECT user_id, event_id,
-       round(covar_pop(value, seq) OVER w / var_pop(seq) OVER w, 6) AS slope
+       round(covar_pop(value, seq) OVER w / var_pop(seq) OVER w, 6) + 0.0
+         AS slope
 FROM seqd
 WINDOW w AS (PARTITION BY user_id ORDER BY seq
              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
@@ -968,12 +1181,17 @@ REGISTRY: dict[str, tuple] = {
     "schema_check": (q_schema_check, SQL_SCHEMA_CHECK),
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
+    "transients": (q_transients, SQL_TRANSIENTS),
+    "band_contrast": (q_band_contrast, SQL_BAND_CONTRAST),
+    "deviation_join": (q_deviation_join, SQL_DEVIATION_JOIN),
+    "diff_p95": (q_diff_p95, SQL_DIFF_P95),
+    "array_pos_agg": (q_array_pos_agg, SQL_ARRAY_POS_AGG),
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
     "kll_quantiles": (q_kll_quantiles, None),
-    "quality_scores": (q_quality_scores, None),
+    "quality_scores": (q_quality_scores, _sql_quality_scores()),
 }
 
 

@@ -13,19 +13,58 @@ Heir of the reference's verdict trio:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from audio_quality_checker_spark.config import CheckSuite
 from audio_quality_checker_spark.operators.schema import VIOLATION_COLS
 
 
+def corroborate(violations: DataFrame, suite: CheckSuite) -> DataFrame:
+    """Agreement boost + corroboration gate over the raw violation rows.
+
+    1. **Agreement boost** (upsampling.rs:351-398): when two independent
+       checks detect the SAME violation type on one partition (e.g. PSI
+       and KS both flag DistributionDrift, on different columns), each
+       detection's confidence rises by `agreement_boost`, capped.
+    2. **Corroboration gate** (detector.rs:341-358): a detection still at
+       the weakest reportable tier after boosting survives only when at
+       least one OTHER violation fires on the same partition — a lone
+       borderline signal is suppressed (prefer false negatives,
+       detector.rs:421).
+
+    Window functions over the tiny violations frame — row counts here are
+    per-partition defect counts, never data-scale.
+    """
+    wp = W.partitionBy("partition_key")
+    wt = W.partitionBy("partition_key", "violation_type")
+    n_all = F.count(F.lit(1)).over(wp)
+    n_same_type = F.count(F.lit(1)).over(wt)
+    boosted = F.when(
+        n_same_type >= 2,
+        F.least(
+            F.col("confidence") + F.lit(suite.agreement_boost),
+            F.lit(suite.max_boosted_confidence),
+        ),
+    ).otherwise(F.col("confidence"))
+    out = violations.withColumn("_n_all", n_all).withColumn(
+        "confidence", boosted
+    )
+    if suite.corroboration_gate:
+        out = out.where(
+            (F.col("confidence") > F.lit(suite.corroboration_weak_tier))
+            | (F.col("_n_all") >= 2)
+        )
+    return out.drop("_n_all")
+
+
 def combine_violations(frames: list[DataFrame], suite: CheckSuite) -> DataFrame:
     """unionByName of the per-check violation frames (the defect-vector
-    accumulation analog, detector.rs:180) + the final min-confidence
-    filter."""
+    accumulation analog, detector.rs:180), corroboration, then the final
+    min-confidence filter."""
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr.select(*VIOLATION_COLS))
+    out = corroborate(out, suite)
     return out.where(F.col("confidence") >= F.lit(suite.min_confidence))
 
 

@@ -90,6 +90,15 @@ CATEGORIES: list[tuple[str, bool, tuple[str, ...]]] = [
     # declared-domain nonconformance: non-ISO-639-1 lang labels + warc_ts
     # outside the declared crawl range (the claimed/actual schema check)
     ("SchemaDrift", False, ("SchemaViolation",)),
+    # corroboration semantics (detector.rs:341-358 / upsampling.rs:351-398):
+    # a ~3% dup rate lands in the weakest confidence tier (0.65).  Alongside
+    # lang drift the weak signal is corroborated and reported; alone it is
+    # suppressed and the day PASSES (prefer false negatives on lone
+    # borderline signals).  Rates calibrated against the fixed seed so the
+    # realized dup count stays in (1x, 2x) of max_dup_rate at every fixture
+    # row count in use (170/200/400).
+    ("WeakDup_Drift", False, ("UniquenessViolation", "DistributionDrift")),
+    ("WeakDup", True, ()),
 ]
 CATEGORY_NAMES = [c[0] for c in CATEGORIES]
 _CAT_ID = {name: i for i, (name, _, _) in enumerate(CATEGORIES)}
@@ -141,7 +150,7 @@ def make_page(category: str, idx: int, seed: int = SEED) -> dict:
     """One fully-deterministic pages row. Pure function of (category, idx, seed)."""
     cat_id = _CAT_ID[category]
     rng_lang = SplitMixRNG(seed, cat_id, idx, _F_LANG)
-    drift = category in ("LangDrift", "Combined_Dup_Drift")
+    drift = category in ("LangDrift", "Combined_Dup_Drift", "WeakDup_Drift")
     lang = rng_lang.weighted_choice(LANGS, _DRIFT_CUM if drift else _BASE_CUM)
 
     rng_body = SplitMixRNG(seed, cat_id, idx, _F_BODY)
@@ -156,7 +165,9 @@ def make_page(category: str, idx: int, seed: int = SEED) -> dict:
 
     rng_def = SplitMixRNG(seed, cat_id, idx, _F_DEFECT)
     url = _make_url(cat_id, idx, seed)
-    if category in ("DupUrl", "Combined_Dup_Drift") and idx > 0 and rng_def.uniform() < 0.10:
+    _DUP_P = {"DupUrl": 0.10, "Combined_Dup_Drift": 0.10,
+              "WeakDup_Drift": 0.03, "WeakDup": 0.03}
+    if idx > 0 and category in _DUP_P and rng_def.uniform() < _DUP_P[category]:
         url = _make_url(cat_id, idx - 1, seed)  # duplicate the previous row's url
 
     text: str | None = extract_text(html)

@@ -15,7 +15,6 @@ import os
 import sys as _sys
 
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import json
 import sys
 import time
 
@@ -48,8 +47,16 @@ def main(argv=None) -> int:
         results_root=args.out,
     )
     if args.json:
-        for r in res.verdicts.orderBy("partition_key").collect():
-            print(json.dumps(r.asDict(), default=str))
+        # distributed JSON-lines serialization (F.to_json rides codegen;
+        # only the already-tiny per-partition verdict rows are collected)
+        from audio_quality_checker_spark.functions.json_io import (
+            verdicts_to_json,
+        )
+
+        for r in verdicts_to_json(
+            res.verdicts.orderBy("partition_key")
+        ).collect():
+            print(r["json"])
     else:
         print_report(res)
     n = res.verdicts.agg({"n_rows": "sum"}).collect()[0][0] or 0
