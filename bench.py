@@ -48,6 +48,15 @@ HEADLINE = [
     "ann_topk",
     "kll_quantiles",
     "quality_scores",
+    # round 2 additions
+    "schema_check",
+    "corr_stats",
+    "trend_slope",
+    "transients",
+    "band_contrast",
+    "deviation_join",
+    "diff_p95",
+    "array_pos_agg",
 ]
 
 
@@ -63,8 +72,20 @@ def main() -> int:
     spark = get_spark(app_name="aqcs-bench", cores=cpus,
                       shuffle_partitions=2 * cpus)
 
-    # warmup: JVM + python worker daemons, not counted
+    # warmup: JVM codegen + the Python worker daemons (each imports
+    # pandas/numpy once per session, ~1.5s/worker — steady-state cost is
+    # zero because workers are reused), not counted
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    import pandas as _pd
+
+    def _noop(batches):
+        for b in batches:
+            yield _pd.DataFrame({"id": b["id"]})
+
+    spark.range(0, 10_000, 1, cpus).mapInPandas(
+        _noop, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -136,6 +136,34 @@ def _to_i64(u: int) -> int:
     return u - (1 << 64) if u >= 1 << 63 else u
 
 
+def test_jaccard_guardrail_routes_big_blocks_through_lsh(spark, corpus):
+    """With a tiny block_cap every block is 'oversized': the LSH route must
+    still recover the planted near-dups with exact Jaccard values, and a
+    generous cap must reproduce the exact all-pairs result."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+
+    df, planted = corpus
+    d = df.withColumn("lang", F.lit("en"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_guarded(d, threshold=0.5,
+                                       block_cap=10_000).collect()
+    }
+    routed = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_guarded(d, threshold=0.5, block_cap=1).collect()
+    }
+    assert (3, 300) in exact and exact[(3, 300)] == 1.0
+    for p in planted:
+        assert p in exact
+        assert p in routed, f"LSH route missed planted pair {p}"
+        assert abs(routed[p] - exact[p]) < 1e-9  # verification stays exact
+    # precision: the LSH route reports no pair the exact route rejects
+    assert set(routed) <= set(exact)
+
+
 def test_exact_dup_groups(spark, corpus):
     df, _ = corpus
     groups = exact_dup_groups(df).collect()
