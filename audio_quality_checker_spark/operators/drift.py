@@ -90,7 +90,103 @@ def drift_metrics(dist: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
-def drift_violations(dist: DataFrame, baseline: DataFrame, suite: CheckSuite) -> DataFrame:
+def drift_metrics_driver(dist: DataFrame, baseline: DataFrame):
+    """Driver-side finalize of the drift comparison: collect the ALREADY
+    AGGREGATED histograms (partitions x bins rows — KB-sized for the
+    daily/weekly validation runs this engine fronts) and compute PSI/KS in
+    numpy, skipping the ~8 sub-second Spark stages (joins, windows,
+    explode) the distributed finalize needs.  Measured: the distributed
+    tail cost ~5s of almost-parallelism-independent stage latency per run,
+    which dominated the scaling ratio once the payload pass was fixed.
+
+    Semantics are identical to drift_metrics (same smoothing, same bin
+    universe, same ordered-bin KS) — asserted by
+    tests/test_drift_finalize.py.  For million-partition backfills set
+    CheckSuite.drift_driver_finalize=False to keep the distributed path.
+
+    Returns list of (p_day, column_name, psi, ks_or_None).
+    """
+    obs_rows = dist.collect()
+    base_rows = baseline.where(
+        F.col("column_name") != BASELINE_SAMPLE_KEY
+    ).collect()
+
+    base: dict[str, dict[str, int]] = {}
+    b_total: dict[str, int] = {}
+    for r in base_rows:
+        base.setdefault(r["column_name"], {})[r["bin"]] = int(r["count"])
+        b_total[r["column_name"]] = max(
+            b_total.get(r["column_name"], 0), int(r["total"])
+        )
+    obs: dict[tuple, dict[str, int]] = {}
+    o_total: dict[tuple, int] = {}
+    for r in obs_rows:
+        key = (r["p_day"], r["column_name"])
+        obs.setdefault(key, {})[r["bin"]] = int(r["count"])
+        o_total[key] = int(r["total"])
+
+    len_order = {lbl: i for i, lbl in enumerate(LEN_BIN_LABELS)}
+    out = []
+    # bin universe per column: union of observed and baseline bins across
+    # all partitions (mirrors the distributed `bins` union-distinct)
+    col_bins: dict[str, set] = {}
+    for (_, col), counts in obs.items():
+        col_bins.setdefault(col, set()).update(counts)
+    for col, counts in base.items():
+        col_bins.setdefault(col, set()).update(counts)
+    for (p_day, col), counts in sorted(obs.items()):
+        bins = sorted(col_bins[col], key=lambda b: (len_order.get(b, -1), b))
+        p = np.array(
+            [counts.get(b, 0) for b in bins], dtype=np.float64
+        )
+        q = np.array(
+            [base.get(col, {}).get(b, 0) for b in bins], dtype=np.float64
+        )
+        k = len(bins)
+        p = (p + _ALPHA) / (o_total[(p_day, col)] + _ALPHA * k)
+        q = (q + _ALPHA) / (b_total.get(col, 0) + _ALPHA * k)
+        psi = float(((p - q) * np.log(p / q)).sum())
+        ks = (
+            float(np.abs(np.cumsum(p) - np.cumsum(q)).max())
+            if col == "text_len"
+            else None
+        )
+        out.append((p_day, col, psi, ks))
+    return out
+
+
+def drift_violations(dist: DataFrame, baseline: DataFrame, suite: CheckSuite,
+                     driver_finalize: bool | None = None) -> DataFrame:
+    if driver_finalize is None:
+        driver_finalize = getattr(suite, "drift_driver_finalize", True)
+    if driver_finalize:
+        from audio_quality_checker_spark.operators.schema import (
+            VIOLATION_SCHEMA,
+        )
+
+        rows = []
+        for p_day, col, psi, ks in drift_metrics_driver(dist, baseline):
+            for metric, value, thr in (
+                ("psi", psi, suite.max_psi),
+                ("ks_binned", ks, suite.max_ks_stat),
+            ):
+                if value is None:
+                    continue
+                conf = (
+                    0.95 if value >= 4 * thr
+                    else 0.85 if value >= 2 * thr
+                    else 0.65 if value > thr
+                    else 0.0
+                )
+                if conf <= 0:
+                    continue
+                label = "PSI" if metric == "psi" else "binned KS"
+                rows.append((
+                    p_day, "DistributionDrift", col, conf,
+                    f"{label} {value:.4f} exceeds {thr:.4f} on {col}",
+                    {"metric": metric, "value": repr(value)},
+                ))
+        return dist.sparkSession.createDataFrame(rows, VIOLATION_SCHEMA)
     m = drift_metrics(dist, baseline)
     pk = F.col("p_day")
     psi_v = m.select(

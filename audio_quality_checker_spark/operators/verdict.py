@@ -64,7 +64,11 @@ def combine_violations(frames: list[DataFrame], suite: CheckSuite) -> DataFrame:
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr.select(*VIOLATION_COLS))
-    out = corroborate(out, suite)
+    # violations are per-(partition, check) rows — KB-sized by contract —
+    # but the corroboration windows would still fan out to
+    # spark.sql.shuffle.partitions tasks; one partition keeps the whole
+    # verdict tail a handful of single-task stages
+    out = corroborate(out.coalesce(1), suite)
     return out.where(F.col("confidence") >= F.lit(suite.min_confidence))
 
 

@@ -146,13 +146,14 @@ def run_checks(
             light = with_membership(light, bloom, "host")
 
     # Explicit computation reuse (the reference computes its spectral
-    # result once for two consumers, detector.rs:183-187), materialized
-    # EAGERLY: the violations DAG references this subplan from several
-    # independent stages inside one action, and a cold cache makes those
-    # stages race to populate it, re-running the input scan up to Nx
-    # (measured 10x).
+    # result once for two consumers, detector.rs:183-187).  The stats
+    # count below is the FIRST action and references light exactly once,
+    # so it materializes both caches in one job — no separate
+    # light.count() warmup job is needed (the cache-race pathology only
+    # bites when one action references a cold cache from SEVERAL branches;
+    # every later consumer here runs after this count, against a warm
+    # cache).
     light.persist(StorageLevel.MEMORY_AND_DISK)
-    light.count()
 
     stats = partition_stats(light, exact=exact)
     stats.persist(StorageLevel.MEMORY_AND_DISK)
