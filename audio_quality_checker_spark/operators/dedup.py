@@ -146,12 +146,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
             )
         n_hashes = len(row["sig"])
     r = n_hashes // bands
+    # band hash = xxhash64 over the band's r signature components passed
+    # as separate long columns plus the band index (no per-band
+    # slice+cast-to-string array churn — xxhash64 is variadic)
     banded = sigs.select(
         id_col,
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.slice("sig", i * r + 1, r).cast("array<string>"))
+                    F.xxhash64(
+                        F.lit(i),
+                        *[F.col("sig")[i * r + j] for j in range(r)],
+                    )
                     for i in range(bands)
                 ]
             )

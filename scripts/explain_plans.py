@@ -90,6 +90,53 @@ def main() -> int:
         ),
     ]
 
+    # round-2 operators ----------------------------------------------------
+    from audio_quality_checker_spark.operators.schema_check import (
+        PAGES_EXPECTATION,
+        with_conformance_flags,
+    )
+
+    flagged = with_conformance_flags(light, PAGES_EXPECTATION)
+    sections.append(
+        (
+            "Schema conformance flags fold into the one-pass stats agg",
+            "The sv_* domain predicates (rlike/isin/range) are plain "
+            "Project expressions under the SAME single HashAggregate "
+            "Exchange — the namesake check adds zero scans and zero "
+            "shuffles.",
+            fmt(partition_stats(flagged)),
+        )
+    )
+
+    from audio_quality_checker_spark.operators.dedup import (
+        minhash_signatures,
+        lsh_candidate_pairs,
+    )
+
+    sigs = minhash_signatures(pages.withColumnRenamed("url", "u").selectExpr(
+        "monotonically_increasing_id() as doc_id", "text"
+    ))
+    sections.append(
+        (
+            "MinHash signature build: JVM-side shingle hashing",
+            "The shingle pipeline (split/slice/array_join/xxhash64) is a "
+            "Project inside WholeStageCodegen feeding one MapInPandas — "
+            "Python only sees pre-hashed longs, never raw text bytes "
+            "per-shingle.",
+            fmt(sigs),
+        )
+    )
+    sections.append(
+        (
+            "LSH banding bucket self-join (no all-pairs)",
+            "The candidate join is an equi-join on (band_idx, band_hash) "
+            "— a hash/sort-merge join keyed on the bucket, never a "
+            "nested-loop over all pairs; at 10^12 docs the quadratic "
+            "stage simply does not exist in the plan.",
+            fmt(lsh_candidate_pairs(sigs, n_hashes=128)),
+        )
+    )
+
     with open(out_path, "w") as f:
         f.write(
             "# PLANS — formatted physical plans of the engine's key operators\n\n"
