@@ -732,6 +732,44 @@ def q_ann_topk(spark, sf):
     return lsh_topk(queries, e, dim=64, k=5)
 
 
+def q_ivf_topk(spark, sf):
+    from audio_quality_checker_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    return ivf_topk(queries, e, dim=64, k=5, n_lists=8, n_probe=3)
+
+
+# brute-force exact top-k IS SQL-expressible — the ANN family's oracle
+def q_brute_topk(spark, sf):
+    from audio_quality_checker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = load(spark, sf, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    return brute_force_topk(queries, e, k=3)
+
+
+SQL_BRUTE_TOPK = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM v q CROSS JOIN v c
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_kll_quantiles(spark, sf):
     from audio_quality_checker_spark.operators.quantiles import (
         build_sketches,
@@ -1190,6 +1228,8 @@ REGISTRY: dict[str, tuple] = {
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "brute_topk": (q_brute_topk, SQL_BRUTE_TOPK),
     "kll_quantiles": (q_kll_quantiles, None),
     "quality_scores": (q_quality_scores, _sql_quality_scores()),
 }

@@ -116,10 +116,113 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
             ).alias("band_idx", "band_val"),
         )
 
-    qs = banded(hyperplane_signatures(queries, dim, n_planes, id_col, vec_col), "query_id")
+    qs = banded(hyperplane_signatures(queries, dim, n_planes, id_col, vec_col), "query_id")  # noqa: E501
     cs = banded(hyperplane_signatures(corpus, dim, n_planes, id_col, vec_col), "neighbor_id")
     cand = (
         qs.join(cs, ["band_idx", "band_val"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", F.round(_cos("qv", "cv"), 6).alias("cosine")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: spherical k-means coarse quantizer + nprobe
+# search — the second scale path next to hyperplane LSH.  Training runs on
+# a bounded sample driver-side (standard IVF practice: centroids are tiny
+# and training data is a sample regardless of corpus size); assignment and
+# search are distributed (one numpy matmul per Arrow batch, candidates
+# joined per inverted list).
+# ---------------------------------------------------------------------------
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def train_centroids(corpus: DataFrame, dim: int, n_lists: int = 16,
+                    sample_cap: int = 100_000, iters: int = 10,
+                    seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic spherical k-means on a seeded sample: assign by max
+    dot product over L2-normalized vectors, recenter, renormalize.
+    Returns (n_lists, dim) float64 — bytes-sized at any corpus scale."""
+    sample = corpus.select(vec_col).limit(sample_cap).collect()
+    mat = _normalize(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    )
+    n = mat.shape[0]
+    # deterministic distinct starting points via splitmix64 ranks
+    order = np.argsort(splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed)))
+    cents = mat[order[:n_lists]].copy()
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = mat[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, n_probe: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               out_id: str = "vec_id") -> DataFrame:
+    """(id, list_id): nearest `n_probe` inverted lists per vector.  One
+    numpy matmul per Arrow batch; centroids ride the closure (KB-sized)."""
+    cents = centroids.copy()
+
+    def compute(batches):
+        for pdf in batches:
+            mat = _normalize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            sims = mat @ cents.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            yield pd.DataFrame({out_id: ids, "list_id": top.ravel()})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, schema=f"{out_id} long, list_id int"
+    )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             n_lists: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors live in ONE inverted list
+    each; a query probes its `n_probe` nearest lists and scores only those
+    lists' members exactly.  Work is O(|Q| * n_probe * |corpus|/n_lists)
+    expected — the shuffle key is list_id, so each list is a co-located
+    join group and no all-pairs stage exists.  Same output schema as
+    brute_force_topk; recall vs the oracle asserted in tests."""
+    cents = centroids if centroids is not None else train_centroids(
+        corpus, dim, n_lists, vec_col=vec_col
+    )
+    c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
+    q_assign = ivf_assign(queries, cents, n_probe, id_col, vec_col, "query_id")
+    cand = (
+        q_assign.join(c_assign, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

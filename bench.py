@@ -57,6 +57,8 @@ HEADLINE = [
     "deviation_join",
     "diff_p95",
     "array_pos_agg",
+    "ivf_topk",
+    "brute_topk",
 ]
 
 

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from audio_quality_checker_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_signatures,
+    ivf_topk,
     lsh_topk,
+    train_centroids,
 )
 
 DIM = 32
@@ -69,6 +71,42 @@ def test_lsh_recall_at_1_for_planted(spark, vectors):
     }
     hits = sum(1 for qid, nid in planted if top1.get(qid) == nid)
     assert hits >= 9, f"LSH recall@1 too low: {hits}/10 ({top1})"
+
+
+def test_ivf_recall_at_1_for_planted(spark, vectors):
+    """A near-identical vector lands in (or probes into) its original's
+    inverted list; require >= 9/10 planted pairs found at rank 1."""
+    df, planted = vectors
+    queries = df.where(F.col("vec_id") >= 500)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(queries, df, dim=DIM, k=1, n_lists=8,
+                          n_probe=3).collect()
+    }
+    hits = sum(1 for qid, nid in planted if top1.get(qid) == nid)
+    assert hits >= 9, f"IVF recall@1 too low: {hits}/10 ({top1})"
+
+
+def test_ivf_centroids_deterministic_and_normalized(spark, vectors):
+    df, _ = vectors
+    c1 = train_centroids(df, DIM, n_lists=8)
+    c2 = train_centroids(df, DIM, n_lists=8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_scores_match_exact(spark, vectors):
+    """IVF prunes candidates, never changes scores."""
+    df, _ = vectors
+    queries = df.limit(5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(queries, df, k=50).collect()
+    }
+    for r in ivf_topk(queries, df, dim=DIM, k=5, n_lists=8, n_probe=4).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["cosine"]) < 1e-9
 
 
 def test_lsh_subset_of_bruteforce_scores(spark, vectors):
