@@ -44,14 +44,33 @@ def _widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
-def _shingle_hash_col(text_col: str, k: int) -> Column:
-    """array<bigint> of xxhash64(k-word-shingle) — built entirely JVM-side
-    (split / slice / array_join / xxhash64 stay in whole-stage codegen; the
-    round-1 per-byte Python FNV loop was the minhash throughput ceiling)."""
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
+def _shingle_hash_col(text_col: str, k: int, mode: str = "word") -> Column:
+    """array<bigint> of xxhash64(k-shingle) — built entirely JVM-side
+    (split / slice / array_join / substr / xxhash64 stay in whole-stage
+    codegen; the round-1 per-byte Python FNV loop was the minhash
+    throughput ceiling).
+
+    mode="word": k-word shingles (whitespace tokens) — the right unit for
+    space-segmented languages.  mode="char": k-character shingles — the
+    unit for unsegmented scripts (zh/ja/th), where whitespace splitting
+    collapses a whole document into one token and near-dup detection
+    degrades to exact match.
+    """
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    if mode == "char":
+        n = F.length(t)
+        shingles = (
+            F.when(n == 0, F.array().cast("array<string>"))
+            .when(n < k, F.array(t))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: t.substr(i, F.lit(k)),
+                )
+            )
+        )
+        return F.transform(shingles, lambda s: F.xxhash64(s))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     n = F.size(toks)
     shingles = (
         F.when(n == 0, F.array().cast("array<string>"))
@@ -84,7 +103,8 @@ def _row_starts(lens: np.ndarray) -> np.ndarray:
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 128,
-                       shingle_k: int = 5) -> DataFrame:
+                       shingle_k: int = 5,
+                       shingle_mode: str = "word") -> DataFrame:
     """(id, sig array<bigint>): n_hashes-permutation MinHash signature.
 
     Shingle hashing happens JVM-side (xxhash64); the "permutations" are
@@ -123,7 +143,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
     staged = _widen(
         df.select(id_col, text_col)
-    ).select(id_col, _shingle_hash_col(text_col, shingle_k).alias("sh"))
+    ).select(
+        id_col,
+        _shingle_hash_col(text_col, shingle_k, shingle_mode).alias("sh"),
+    )
     return staged.mapInPandas(compute, schema=f"{id_col} long, sig array<bigint>")
 
 
@@ -182,10 +205,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 128,
-                      bands: int = 32, threshold: float = 0.7) -> DataFrame:
+                      bands: int = 32, threshold: float = 0.7,
+                      shingle_mode: str = "word") -> DataFrame:
     """(id_a, id_b, est_jaccard): LSH candidates verified by signature
-    agreement (estimated Jaccard = fraction of equal MinHash components)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    agreement (estimated Jaccard = fraction of equal MinHash components).
+    Use shingle_mode="char" for unsegmented scripts (zh/ja/th)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes,
+                              shingle_mode=shingle_mode)
     # EAGER materialization: the one downstream action references sigs
     # from four subplans (banded a/b + verify a/b); a cold cache makes
     # those stages race and re-run the signature kernel up to 4x

@@ -136,6 +136,37 @@ def _to_i64(u: int) -> int:
     return u - (1 << 64) if u >= 1 << 63 else u
 
 
+def test_char_shingles_find_cjk_near_dups(spark):
+    """Whitespace shingling collapses an unsegmented (CJK) document into
+    ONE token, so word-mode minhash only ever finds exact matches there;
+    char-mode shingles must recover a planted near-dup pair."""
+    from audio_quality_checker_spark.functions.hashing import SplitMixRNG
+
+    cjk = "数据质量检验引擎网页文档分析系统统计分布检查验证平台"
+    rows = []
+    for i in range(40):
+        rng = SplitMixRNG(5, i)
+        rows.append((i, "".join(rng.choice(cjk) for _ in range(200))))
+    # near-dup: copy of doc 0 with the last 10 chars changed (95% overlap)
+    rng = SplitMixRNG(6, 0)
+    rows.append((100, rows[0][1][:-10] + "".join(rng.choice(cjk) for _ in range(10))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    word = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(df, threshold=0.6).collect()
+    }
+    char = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(df, threshold=0.6,
+                                   shingle_mode="char").collect()
+    }
+    assert (0, 100) not in word, "word shingles cannot see CJK near-dups"
+    assert (0, 100) in char, f"char shingles missed the planted pair: {char}"
+    # no false positives among unrelated docs
+    assert char == {(0, 100)}, f"false positives: {char - {(0, 100)}}"
+
+
 def test_jaccard_guardrail_routes_big_blocks_through_lsh(spark, corpus):
     """With a tiny block_cap every block is 'oversized': the LSH route must
     still recover the planted near-dups with exact Jaccard values, and a
