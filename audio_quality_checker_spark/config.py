@@ -54,6 +54,10 @@ class CheckSuite:
     trend_window: int = 7                # trailing days in the trend slope
     max_trend_shift: float = 0.5         # stddev-normalized drift across window
     ks_sample_fraction: float = 0.10     # sample for the exact-KS oracle
+    # below this sampled-row floor the exact-KS statistic is noise (the
+    # two-sample critical value 1.36*sqrt(1/n+1/m) exceeds max_ks_stat
+    # around n~90 at m=2000), so small partitions are skipped, not judged
+    min_ks_sample: int = 150
     min_text_len_p50: float = 64.0       # median extracted-text length floor
 
     # extraction re-derivation sample fraction (upsampling null-test analog,
@@ -63,10 +67,10 @@ class CheckSuite:
     extraction_sample_seed: int = 42
 
     # task width for the fused single-scan pass (None = derive from the
-    # cluster: half the per-executor slots per executor, because each
-    # Python-UDF task occupies ~2 CPUs — its Python worker plus the JVM
-    # thread feeding it Arrow batches; measured on the 32-core sandbox:
-    # tasks==cores 171s vs tasks==cores/2 25-35s for identical work)
+    # cluster: 4 waves of tasks per slot — with a single wave any
+    # straggler idles its core for the whole stage tail; measured 21.3s
+    # -> 13.6s at a 16-CPU budget and scaling efficiency 0.64 -> 0.90.
+    # See operators/fused.py for the full policy and counter-measurements)
     fused_task_width: int | None = None
 
     # ---- verdict assembly (detector.rs:360-376 analog) ----

@@ -326,6 +326,9 @@ def exact_ks_violations(features: DataFrame, baseline: DataFrame,
     m = sampled.groupBy("p_day").applyInPandas(
         per_day, schema="p_day string, ks_exact double, n_sampled long"
     )
+    # sampled-size floor: below it the KS statistic's own sampling noise
+    # exceeds the gate and any verdict would be a coin flip
+    m = m.where(F.col("n_sampled") >= F.lit(suite.min_ks_sample))
     return m.select(
         *violation_row(
             F.col("p_day"),
