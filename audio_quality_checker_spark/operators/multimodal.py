@@ -154,3 +154,128 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema="asset_id long, frame_idx int, frame binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: fake PCM container ("AUD1" + <I sample_rate> + int16 samples) with
+# REAL feature math — rms, peak, zero-crossing rate are the reference's own
+# statistics (true_peak.rs:127-164, dsp.rs analogs); only the container
+# parsing is the stand-in for a real decoder.
+# ---------------------------------------------------------------------------
+
+def fake_encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    s = np.asarray(samples)
+    s16 = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    return b"AUD1" + struct.pack("<I", rate) + s16.tobytes()
+
+
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload is None or len(payload) < 8 or payload[:4] != b"AUD1":
+        raise ValueError("not an AUD1 payload")
+    (rate,) = struct.unpack_from("<I", payload, 4)
+    body = np.frombuffer(payload, dtype="<i2", offset=8)
+    return body.astype(np.float64) / 32767.0, rate
+
+
+def audio_features(assets: DataFrame, kind: str = "audio") -> DataFrame:
+    """assets -> (asset_id, n_samples, duration_s, rms, peak, zcr, error):
+    one mapInPandas pass, vectorized numpy per payload, poison rows
+    captured per-row.  rms/peak/zcr are the real statistics the reference
+    computes over decoded frames — the fake is only the container."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    x, rate = _decode_audio(
+                        bytes(payload) if payload is not None else None
+                    )
+                    if x.size == 0:
+                        raise ValueError("empty audio payload")
+                    zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+                    rows.append((
+                        aid, int(x.size), float(x.size / rate),
+                        float(np.sqrt(np.mean(x * x))),
+                        float(np.abs(x).max()),
+                        float(zc / max(x.size - 1, 1)), None,
+                    ))
+                except Exception as e:  # noqa: BLE001 - poison-row capture
+                    rows.append((aid, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples", "duration_s", "rms",
+                         "peak", "zcr", "error"],
+            )
+
+    return (
+        assets.where(F.col("kind") == kind)
+        .select("asset_id", "payload")
+        .mapInPandas(
+            run,
+            schema="asset_id long, n_samples long, duration_s double, "
+                   "rms double, peak double, zcr double, error string",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: average-hash (aHash) perceptual fingerprint — downscale
+# to 8x8 means, threshold at the mean, pack 64 bits — then reuse the
+# SimHash pigeonhole banding for the hamming pair search.  A complete
+# image-dedup pipeline on the multimodal table: decode happens ONCE per
+# payload; everything after the 8-byte fingerprint is JVM-side.
+# ---------------------------------------------------------------------------
+
+def image_ahash(assets: DataFrame, kind: str = "image") -> DataFrame:
+    """(asset_id, ahash long): 64-bit average-hash per decodable image;
+    undecodable payloads are skipped (they are decode_features' errors)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    img = _decode_image(
+                        bytes(payload) if payload is not None else None
+                    )
+                except Exception:  # noqa: BLE001
+                    continue
+                h, w = img.shape
+                if h < 8 or w < 8:
+                    continue
+                # 8x8 block means via stride slicing (nearest-region mean)
+                ys = (np.arange(9) * h // 8)
+                xs = (np.arange(9) * w // 8)
+                cells = np.empty((8, 8))
+                for i in range(8):
+                    for j in range(8):
+                        cells[i, j] = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                bits = (cells > cells.mean()).ravel()
+                val = np.uint64(0)
+                for b in range(64):
+                    if bits[b]:
+                        val |= np.uint64(1) << np.uint64(b)
+                ids.append(aid)
+                hashes.append(np.int64(val.view(np.int64)))
+            yield pd.DataFrame({"asset_id": ids, "simhash": hashes})
+
+    return (
+        assets.where(F.col("kind") == kind)
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema="asset_id long, simhash long")
+    )
+
+
+def image_near_dups(assets: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """(id_a, id_b, hamming): visually near-identical image pairs via
+    aHash + the same pigeonhole banding as text SimHash — complete recall
+    for the advertised radius, no all-pairs stage."""
+    from audio_quality_checker_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+
+    sigs = image_ahash(assets)
+    sigs.persist()
+    sigs.count()  # eager: the bucket self-join references sigs twice
+    return simhash_pairs_from_sigs(sigs, "asset_id", max_hamming)

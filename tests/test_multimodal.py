@@ -2,14 +2,18 @@
 The decode is the deterministic IMG1 fake (container has no codec libs);
 what these tests pin is the Spark contract around it."""
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from audio_quality_checker_spark.operators.multimodal import (
+    audio_features,
     decode_features,
+    fake_encode_audio,
     fake_encode_image,
     frame_sample,
+    image_near_dups,
     resize_images,
 )
 
@@ -59,3 +63,53 @@ def test_frame_sample_fanout(spark, assets):
     assert sorted(r["frame_idx"] for r in frames) == [0, 2]
     for r in frames:
         assert bytes(r["frame"])[:4] == b"IMG1"
+
+
+def test_audio_features_analytic(spark):
+    """A full-scale square wave has rms = peak = 1 and zcr ~ f/Nyquist —
+    the feature math is exact, only the container is fake."""
+    rate = 1000
+    t = np.arange(rate)  # 1 second
+    square = np.sign(np.sin(2 * np.pi * 25 * t / rate))  # 25 Hz
+    rows = [
+        (1, "audio", fake_encode_audio(square, rate), None),
+        (2, "audio", fake_encode_audio(0.5 * np.ones(100), rate), None),
+        (3, "audio", b"not audio", None),  # poison
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    sq = out[1]
+    assert sq["n_samples"] == rate and abs(sq["duration_s"] - 1.0) < 1e-9
+    assert abs(sq["rms"] - 1.0) < 1e-3 and abs(sq["peak"] - 1.0) < 1e-3
+    # 25 Hz square wave crosses zero 2*25 = 50 times per second
+    assert abs(sq["zcr"] * (rate - 1) - 50) <= 2
+    dc = out[2]
+    assert abs(dc["rms"] - 0.5) < 1e-3 and dc["zcr"] == 0.0
+    assert out[3]["error"] is not None
+
+
+def test_image_near_dups_via_ahash(spark):
+    """A copy of an image with a few pixels changed shares its aHash
+    within a small hamming radius; unrelated random images do not."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, "image", fake_encode_image(32, 32, seed=100 + i), None))
+    # near-dup of asset 0: same seed, flip a handful of pixels
+    base = bytearray(fake_encode_image(32, 32, seed=100))
+    for p in range(5):
+        base[8 + 37 * p] = (base[8 + 37 * p] + 40) % 256
+    rows.append((500, "image", bytes(base), None))
+    assets = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, meta map<string,string>"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dups(assets, max_hamming=5).collect()
+    }
+    assert (0, 500) in pairs, f"planted visual near-dup missed: {pairs}"
+    # random 32x32 noise images shouldn't collide within hamming 5
+    false_pairs = {k for k in pairs if k != (0, 500)}
+    assert len(false_pairs) <= 1, f"too many accidental pairs: {false_pairs}"
