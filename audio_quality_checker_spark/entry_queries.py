@@ -839,6 +839,78 @@ FROM scored GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# trimmed_mean — skip-first/last-5% position-range statistic (the
+# reference skips the first and last 5% of frames before aggregating;
+# SURVEY §2.2's position-range sample variant): percent_rank bounds the
+# kept range, mean over the middle 90%.
+# ---------------------------------------------------------------------------
+
+def q_trimmed_mean(spark, sf):
+    li = load(spark, sf, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+    kept = ranked.where((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("l_extendedprice"), 4).alias("trimmed_mean_price"),
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         percent_rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice, l_orderkey,
+                                       l_linenumber) AS pr
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_kept,
+       round(avg(l_extendedprice), 4) AS trimmed_mean_price
+FROM ranked WHERE pr >= 0.05 AND pr <= 0.95
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# equi_tolerance — equi-join + tolerance band (equi key with a theta
+# residual: the signature-match-within-tolerance shape, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_equi_tolerance(spark, sf):
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.date_add(o.o_orderdate, 90)),
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_in_band"),
+        F.round(F.avg(delay), 4).alias("avg_ship_delay_days"),
+    )
+
+
+SQL_EQUI_TOLERANCE = """
+SELECT o_orderpriority, count(*) AS n_in_band,
+       round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE))), 4)
+         AS avg_ship_delay_days
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # transients — two-sided window compare (find_transients heir,
 # dsp.rs:295-321: a transient is where max(next window) >> max(prev
 # window)).  Day-over-day changepoint shape for a metric stream.
@@ -1219,6 +1291,8 @@ REGISTRY: dict[str, tuple] = {
     "schema_check": (q_schema_check, SQL_SCHEMA_CHECK),
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "equi_tolerance": (q_equi_tolerance, SQL_EQUI_TOLERANCE),
     "transients": (q_transients, SQL_TRANSIENTS),
     "band_contrast": (q_band_contrast, SQL_BAND_CONTRAST),
     "deviation_join": (q_deviation_join, SQL_DEVIATION_JOIN),

@@ -59,6 +59,8 @@ HEADLINE = [
     "array_pos_agg",
     "ivf_topk",
     "brute_topk",
+    "trimmed_mean",
+    "equi_tolerance",
 ]
 
 
