@@ -162,11 +162,23 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def train_centroids(corpus: DataFrame, dim: int, n_lists: int = 16,
                     sample_cap: int = 100_000, iters: int = 10,
-                    seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+                    seed: int = 42, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
     """Deterministic spherical k-means on a seeded sample: assign by max
     dot product over L2-normalized vectors, recenter, renormalize.
-    Returns (n_lists, dim) float64 — bytes-sized at any corpus scale."""
-    sample = corpus.select(vec_col).limit(sample_cap).collect()
+    Returns (n_lists, dim) float64 — bytes-sized at any corpus scale.
+
+    The sample is ordered by id before the cap (Spark compiles
+    sort+limit to TakeOrderedAndProject — a per-partition top-N heap and
+    a tiny driver merge, no global sort shuffle): a bare limit() is
+    partition-order-dependent and would make the centroids, and every
+    downstream candidate set, nondeterministic across runs."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
     mat = _normalize(
         np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     )
@@ -217,7 +229,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     join group and no all-pairs stage exists.  Same output schema as
     brute_force_topk; recall vs the oracle asserted in tests."""
     cents = centroids if centroids is not None else train_centroids(
-        corpus, dim, n_lists, vec_col=vec_col
+        corpus, dim, n_lists, vec_col=vec_col, id_col=id_col
     )
     c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col, "neighbor_id")
     q_assign = ivf_assign(queries, cents, n_probe, id_col, vec_col, "query_id")
