@@ -30,7 +30,10 @@ import numpy as np
 from audio_quality_checker_spark.functions.hashing import SplitMixRNG
 
 DEFAULT_K = 200
-_MAGIC = b"KLL1"
+# version byte bumped with the wire format: v1 header was <iqii (no seed);
+# v2 added the seed (<iqiiq). A v1 blob must fail the magic check loudly
+# rather than unpack shifted fields silently.
+_MAGIC = b"KLL2"
 
 
 class KLLSketch:
@@ -126,7 +129,11 @@ class KLLSketch:
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "KLLSketch":
-        assert raw[:4] == _MAGIC, "not a KLL sketch"
+        if raw[:4] != _MAGIC:
+            raise ValueError(
+                f"not a {_MAGIC.decode()} sketch (got {raw[:4]!r}); "
+                "v1 blobs (pre-seed header) are not readable"
+            )
         k, n, comps, depth, seed = struct.unpack_from("<iqiiq", raw, 4)
         off = 4 + struct.calcsize("<iqiiq")
         sizes = struct.unpack_from(f"<{depth}i", raw, off)

@@ -36,12 +36,22 @@ def _widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     mapInPandas (measured: the entire sf0.1 minhash cost was one task).
     At production scale inputs already carry thousands of splits and this
     is a no-op — the repartition only fires when the input is narrower
-    than the target width (python-stage rule: ~half the slots)."""
+    than the target width (python-stage rule: ~half the slots).
+
+    Width is probed via `inputFiles()` (a file listing, no RDD plan
+    conversion — `.rdd.getNumPartitions()` rebuilt the plan per call).
+    File count lower-bounds split count, so the only false positive is a
+    few-huge-files scan, where an extra repartition of the two projected
+    columns is cheap relative to the Python signature stage it feeds."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or max(2, sc.defaultParallelism // 2)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-file relation (tests, in-memory frames): widen
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def _shingle_hash_col(text_col: str, k: int, mode: str = "word") -> Column:
@@ -152,7 +162,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 32,
-                        n_hashes: int | None = None) -> DataFrame:
+                        n_hashes: int | None = None,
+                        block_cols: tuple[str, ...] = ()) -> DataFrame:
     """Candidate pairs from LSH banding: split the signature into `bands`
     slices, hash each slice, and self-join on (band_idx, band_hash).
     Pairs sharing >= 1 band collide; with 128 hashes / 32 bands (r=4),
@@ -160,7 +171,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
     `n_hashes` is the signature length; callers that built the signatures
     know it — pass it to avoid a driver-side first() action (and the
-    TypeError it raises on an empty input frame)."""
+    TypeError it raises on an empty input frame).
+
+    `block_cols`: extra columns of `sigs` that must match exactly for two
+    rows to be candidates (equality join with `==`, so null blocks never
+    pair — matching the exact-route semantics of a blocked pairwise
+    compare).  Callers that route an oversized block through LSH pass the
+    block key here so the candidate universe stays identical to the exact
+    route's."""
     if n_hashes is None:
         row = sigs.select("sig").first()
         if row is None:  # empty input: no pairs, no extra Spark jobs
@@ -174,6 +192,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     # slice+cast-to-string array churn — xxhash64 is variadic)
     banded = sigs.select(
         id_col,
+        *block_cols,
         F.posexplode(
             F.array(
                 *[
@@ -188,13 +207,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -328,8 +349,11 @@ def simhash_pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id",
         F.posexplode(
             F.array(
                 *[
+                    # width == 64 (max_hamming=0, exact-dup radius): the
+                    # full-width mask 2^64-1 overflows LongType, and no
+                    # mask is needed — the band IS the hash
                     F.shiftrightunsigned("simhash", start).bitwiseAND(
-                        F.lit((1 << width) - 1)
+                        F.lit(-1 if width == 64 else (1 << width) - 1)
                     )
                     for start, width in _band_ranges(n_bands)
                 ]
@@ -377,6 +401,14 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     exact everywhere, recall in hot blocks becomes the LSH collision
     probability (~0.97 at j=0.7 with 128 hashes / 32 bands) instead of
     quadratic cost.  Worst case is O(sum min(block, cap)^2 + n*bands).
+
+    Both routes search the SAME pair universe: the LSH candidate join
+    carries (lang, len_blk) as exact-match block keys, so route 2 can
+    never emit a cross-block pair route 1 would not have considered.
+
+    The returned frame is persisted and materialized (the intermediates
+    it was built from are unpersisted before returning); callers that are
+    done with it may `.unpersist()` it.
     """
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
@@ -415,13 +447,19 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
         jac,
     ).where(F.col("jaccard") >= threshold)
 
-    # route 2: LSH candidates for the oversized blocks, verified exactly
+    # route 2: LSH candidates for the oversized blocks, verified exactly.
+    # The block key (lang, len_blk) rides on the signature frame and is an
+    # exact-equality term of the candidate join — LSH only replaces the
+    # WITHIN-block all-pairs stage, never widens the pair universe.
     big = base.where(F.col("blk_n") > block_cap)
     sigs = minhash_signatures(
         big.select("doc_id", F.col("__text").alias("t")), "doc_id", "t"
-    )
+    ).join(big.select("doc_id", "lang", "len_blk"), "doc_id")
     sigs.persist()
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32, n_hashes=128)
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", bands=32, n_hashes=128,
+        block_cols=("lang", "len_blk"),
+    )
     ta = big.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
     tb = big.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
     inter2 = F.size(F.array_intersect("ta", "tb"))
@@ -431,7 +469,12 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", (inter2 / union2).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    return exact_pairs.unionByName(lsh_pairs)
+    out = exact_pairs.unionByName(lsh_pairs)
+    out.persist()
+    out.count()  # materialize, then release the build-side caches
+    base.unpersist()
+    sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

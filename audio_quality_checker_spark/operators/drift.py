@@ -271,6 +271,10 @@ def trend_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
 
 BASELINE_SAMPLE_KEY = "text_len_sample"
 
+# hard per-day row bound for the exact-KS pandas group; past this the KS
+# statistic's precision gain is nil and the group's memory is the cost
+_KS_DAY_CAP = 200_000
+
 
 def exact_ks_violations(features: DataFrame, baseline: DataFrame,
                         suite: CheckSuite) -> DataFrame:
@@ -280,11 +284,17 @@ def exact_ks_violations(features: DataFrame, baseline: DataFrame,
     raw-length sample under column_name='text_len_sample'; snapshots
     without it (older format) skip the check gracefully.
 
-    Shape: seeded sample of (p_day, text_len) -> applyInPandas per p_day
-    computing exact_ks_numpy against the broadcast baseline sample.  The
-    sample cap keeps the per-group sort bounded at any scale.
+    Shape: seeded sample of (p_day, text_len) -> per-day hard cap ->
+    applyInPandas per p_day computing exact_ks_numpy against the broadcast
+    baseline sample.  The cap is enforced BEFORE the pandas group
+    materializes: a windowed row_number over a deterministic hash order
+    keeps at most _KS_DAY_CAP rows per day (the window sort spills; a
+    pandas frame cannot), so per-group memory is bounded at any input
+    scale — the in-kernel stride subsample is only a second line of
+    defense.
     """
     import pandas as pd
+    from pyspark.sql import Window as W
 
     base_rows = (
         baseline.where(F.col("column_name") == BASELINE_SAMPLE_KEY)
@@ -303,19 +313,30 @@ def exact_ks_violations(features: DataFrame, baseline: DataFrame,
     thr = suite.max_ks_stat
 
     sampled = (
-        features.select("p_day", "text_len")
+        features.select("p_day", "text_len", "url")
         .where(F.col("text_len").isNotNull())
         .sample(fraction=suite.ks_sample_fraction,
                 seed=suite.extraction_sample_seed)
     )
+    # deterministic per-day cap: order by a url hash (uniform, seed-mixed)
+    # so the kept subset is a uniform random — and reproducible — sample;
+    # text_len tiebreak pins the value multiset even across duplicate urls
+    cap_order = W.partitionBy("p_day").orderBy(
+        F.xxhash64("url", F.lit(suite.extraction_sample_seed)), "text_len"
+    )
+    sampled = (
+        sampled.withColumn("_rn", F.row_number().over(cap_order))
+        .where(F.col("_rn") <= _KS_DAY_CAP)
+        .select("p_day", "text_len")
+    )
 
     def per_day(pdf: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(pdf["text_len"].to_numpy(dtype=np.float64))
-        if v.size > 200_000:
+        if v.size > _KS_DAY_CAP:
             # CDF-preserving stride subsample of the SORTED values: keeps
             # the group bounded at any scale and is deterministic
             # regardless of the arrival order of the sampled rows
-            idx = np.linspace(0, v.size - 1, 200_000).astype(np.int64)
+            idx = np.linspace(0, v.size - 1, _KS_DAY_CAP).astype(np.int64)
             v = v[idx]
         ks = exact_ks_numpy(v, bcast.value)
         return pd.DataFrame(

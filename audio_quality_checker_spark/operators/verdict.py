@@ -67,8 +67,11 @@ def combine_violations(frames: list[DataFrame], suite: CheckSuite) -> DataFrame:
     # violations are per-(partition, check) rows — KB-sized by contract —
     # but the corroboration windows would still fan out to
     # spark.sql.shuffle.partitions tasks; one partition keeps the whole
-    # verdict tail a handful of single-task stages
-    out = corroborate(out.coalesce(1), suite)
+    # verdict tail a handful of single-task stages.  repartition (a real
+    # exchange), NOT coalesce: coalesce(1) propagates up the stage and
+    # would collapse every upstream check — including per-day
+    # applyInPandas kernels — into a single task.
+    out = corroborate(out.repartition(1), suite)
     return out.where(F.col("confidence") >= F.lit(suite.min_confidence))
 
 

@@ -11,8 +11,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def golden(spark):
-    """The golden fixture set: pages (all 13 categories), ref_hosts,
-    baseline snapshot, expected verdicts — generated once per session."""
+    """The golden fixture set: pages (every category in
+    sources.pages.CATEGORIES), ref_hosts, baseline snapshot, expected
+    verdicts — generated once per session."""
     from audio_quality_checker_spark.sources.pages import (
         baseline_snapshot_pdf,
         expected_verdicts_pdf,

@@ -195,6 +195,58 @@ def test_jaccard_guardrail_routes_big_blocks_through_lsh(spark, corpus):
     assert set(routed) <= set(exact)
 
 
+def test_lsh_route_searches_same_pair_universe_as_exact(spark, corpus):
+    """A near-identical pair split across blocks (different lang) is
+    invisible to the exact blocked route — the LSH route must not emit it
+    either, whatever the block_cap (the candidate join carries the block
+    key as an exact-equality term)."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+
+    df, planted = corpus
+    # doc 0's near-dup (id 200) moved to another language block
+    d = df.withColumn(
+        "lang", F.when(F.col("doc_id") == 200, "de").otherwise(F.lit("en"))
+    )
+    routed = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_guarded(d, threshold=0.5, block_cap=1).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_guarded(d, threshold=0.5,
+                                       block_cap=10_000).collect()
+    }
+    assert (0, 200) not in exact, "exact route blocks on lang"
+    assert (0, 200) not in routed, (
+        "LSH route emitted a cross-block pair the exact route never "
+        "considers"
+    )
+    # in-block planted pairs still surface through the LSH route
+    for p in planted:
+        if p != (0, 200):
+            assert p in routed, f"LSH route missed in-block pair {p}"
+
+
+def test_simhash_radius_zero_is_exact_dup_join(spark):
+    """max_hamming=0 means one 64-bit band: the full-width mask must not
+    overflow LongType, and only bit-identical signatures may pair."""
+    from audio_quality_checker_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, -42), (2, -42), (3, 7), (4, 7), (5, 6)],  # 5 vs 6: hamming 1
+        "doc_id long, simhash long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2, 0), (3, 4, 0)}
+
+
 def test_exact_dup_groups(spark, corpus):
     df, _ = corpus
     groups = exact_dup_groups(df).collect()

@@ -63,6 +63,20 @@ def test_serialization_roundtrip():
         assert rt.quantile(q) == sk.quantile(q)
 
 
+def test_old_wire_format_rejected():
+    """A v1 blob (pre-seed header, magic KLL1) must fail loudly instead of
+    unpacking shifted fields into garbage."""
+    import struct
+
+    import pytest
+
+    from audio_quality_checker_spark.functions.sketches import KLLSketch
+
+    v1_blob = b"KLL1" + struct.pack("<iqii", 200, 10, 0, 0)
+    with pytest.raises(ValueError, match="KLL2"):
+        KLLSketch.from_bytes(v1_blob)
+
+
 def test_determinism():
     data = np.arange(100_000, dtype=np.float64)
     a, b = KLLSketch(), KLLSketch()
