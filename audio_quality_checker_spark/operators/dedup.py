@@ -312,27 +312,27 @@ def _band_ranges(n_bands: int) -> list[tuple[int, int]]:
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """(id_a, id_b, hamming): all pairs within `max_hamming` bits.
+    """(id_a, id_b, hamming): all pairs within `max_hamming` bits —
+    complete recall for the advertised radius at any setting.
 
-    Blocking: split the 64-bit hash into (max_hamming + 1) bands; a pair
-    with hamming <= max_hamming flips bits in at most max_hamming bands,
-    so it agrees exactly on >= 1 band (pigeonhole) — complete recall for
-    the advertised radius at any setting (round 1 hard-coded 4 bands,
-    which silently dropped hamming-4..12 pairs when called with
-    max_hamming=12).
+    Route by radius:
+    - h <= 4: single-table pigeonhole — (h+1) bands of 64/(h+1) >= 12
+      bits; buckets stay <= n/2^12 and the explode factor is minimal.
+    - h > 4: Manku multi-table permuted blocks (WWW 2007 §3, see
+      `simhash_pairs_multitable`) — single-table bands would shrink to
+      ~64/(h+1) bits (h=12 -> 5 bits, buckets n/32: quadratic-hot long
+      before web scale); the multi-table keys concatenate several blocks
+      and keep buckets exponentially smaller for a linear explode cost.
 
-    Cost model at scale: band width is 64/(max_hamming+1) bits, so bucket
-    sizes grow as n / 2^(64/(h+1)) — at 10^12 docs radii beyond ~4 make
-    buckets quadratic-hot and the right design is Manku et al.'s
-    multi-table permuted-block construction (WWW 2007 §3) or a smaller
-    radius; the engine's validation entry point uses h=3 (16-bit bands).
-    The hamming predicate sits inside the join condition so non-matching
-    collisions die before the distinct() shuffle.
+    Both routes keep the hamming predicate inside the join condition so
+    non-matching collisions die before the distinct() shuffle.
     """
     sigs = simhash_signatures(df, id_col, text_col)
     sigs.persist()
     sigs.count()  # eager: the bucket self-join references sigs twice
-    return simhash_pairs_from_sigs(sigs, id_col, max_hamming)
+    if max_hamming <= 4:
+        return simhash_pairs_from_sigs(sigs, id_col, max_hamming)
+    return simhash_pairs_multitable(sigs, id_col, max_hamming)
 
 
 def simhash_pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id",
@@ -369,6 +369,119 @@ def simhash_pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id",
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (hamming <= max_hamming),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _multitable_tables(max_hamming: int, key_blocks: int | None,
+                       table_cap: int) -> tuple[int, list[tuple[int, ...]]]:
+    """Choose the Manku parameters: B = max_hamming + q blocks, tables =
+    all C(B, q) q-subsets.  Auto mode picks the LARGEST q (<= 8) whose
+    table count stays under `table_cap` — deeper keys mean exponentially
+    smaller buckets, at a linear per-doc explode cost of one row per
+    table.  `table_cap` is the dial between the two costs: raise it when
+    the corpus is huge and matches are sparse (bucket-join cost
+    dominates); lower it when the pair graph is dense (a pair at hamming
+    d is re-emitted by ~C(B-d, q) tables before the distinct, so table
+    count multiplies the dedup shuffle).  Measured at sf0.1/h=12 with a
+    dense output (1.0M pairs from 5k docs): q=2 2.5s, q=3 8.8s."""
+    import math
+    from itertools import combinations
+
+    h = max_hamming
+    if key_blocks is None:
+        q = 1
+        for cand in range(2, 9):
+            if math.comb(h + cand, cand) <= table_cap:
+                q = cand
+    else:
+        q = key_blocks
+        if math.comb(h + q, q) > table_cap:
+            raise ValueError(
+                f"key_blocks={q} needs C({h + q},{q})="
+                f"{math.comb(h + q, q)} tables > cap {table_cap}"
+            )
+    n_blocks = h + q
+    if n_blocks > 64:
+        raise ValueError(
+            f"max_hamming + key_blocks = {n_blocks} exceeds the 64 bits "
+            "of the SimHash"
+        )
+    return n_blocks, list(combinations(range(n_blocks), q))
+
+
+def _multitable_banded(sigs: DataFrame, id_col: str, max_hamming: int,
+                       key_blocks: int | None, table_cap: int) -> DataFrame:
+    """(id, simhash, tbl_idx, key_hash): one row per (doc, table).  Each
+    table's key is the exact value of its q blocks (hashed together with
+    xxhash64 — equal blocks give equal keys, so recall is preserved; the
+    rare hash-collision false candidate dies on the hamming predicate in
+    the pair join).  Split out so tests can assert bucket-width bounds on
+    the exploded frame directly."""
+    n_blocks, tables = _multitable_tables(max_hamming, key_blocks, table_cap)
+    block_vals = [
+        F.shiftrightunsigned("simhash", start).bitwiseAND(
+            F.lit(-1 if width == 64 else (1 << width) - 1)
+        )
+        for start, width in _band_ranges(n_blocks)
+    ]
+    return sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(ti), *[block_vals[b] for b in subset])
+                    for ti, subset in enumerate(tables)
+                ]
+            )
+        ).alias("tbl_idx", "key_hash"),
+    )
+
+
+def simhash_pairs_multitable(sigs: DataFrame, id_col: str = "doc_id",
+                             max_hamming: int = 6,
+                             key_blocks: int | None = None,
+                             table_cap: int = 128) -> DataFrame:
+    """(id_a, id_b, hamming): all pairs within `max_hamming` bits via the
+    Manku et al. multi-table permuted-block construction (WWW 2007 §3) —
+    the scale path for radii where single-table pigeonhole banding goes
+    quadratic-hot.
+
+    Split the 64-bit hash into B = max_hamming + q blocks and build one
+    table per q-subset of blocks (C(B, q) tables); a pair within
+    `max_hamming` has dirty bits in at most max_hamming blocks, leaving
+    >= q clean blocks, so SOME table's entire key matches exactly —
+    complete recall, like the single-table construction.  The win is key
+    WIDTH: the single-table key is one 64/(h+1)-bit band (h=12 -> ~5 bits,
+    buckets n/32), while each multi-table key concatenates q blocks
+    (h=12, q=3 -> ~13 bits, buckets n/7131): candidate-join cost drops
+    from 13·n²/2⁵ to 455·n²/2¹³ (~7x here, and the gap widens with q —
+    at 10¹² docs choose table_cap by executor budget).  The price is the
+    explode factor: C(B, q) rows per doc instead of h+1, a linear cost.
+
+    With q=1 this IS the single-table pigeonhole (h+1 tables of 1 block
+    each); `simhash_near_dups` picks the route by radius.
+    """
+    banded = _multitable_banded(sigs, id_col, max_hamming, key_blocks,
+                                table_cap)
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl_idx") == F.col("b.tbl_idx"))
+            & (F.col("a.key_hash") == F.col("b.key_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (hamming <= max_hamming),
         )

@@ -136,6 +136,85 @@ def _to_i64(u: int) -> int:
     return u - (1 << 64) if u >= 1 << 63 else u
 
 
+def test_multitable_recall_hamming_4_to_12(spark):
+    """Manku multi-table construction: the same adversarial planted pairs
+    as the pigeonhole test (flips spread across the hash) must all be
+    recovered at radius 12, and the beyond-radius decoy must not."""
+    from audio_quality_checker_spark.operators.dedup import (
+        simhash_pairs_multitable,
+    )
+
+    base = 0x5A5A_C3C3_0F0F_9696
+    rows, expected = [(0, _to_i64(base))], set()
+    for h in range(4, 13):
+        sig = base
+        stride = 64 // h
+        for j in range(h):
+            sig ^= 1 << (j * stride)
+        rows.append((100 + h, _to_i64(sig)))
+        expected.add((0, 100 + h, h))
+    sig = base
+    for j in range(20):
+        sig ^= 1 << (j * 3)
+    rows.append((999, _to_i64(sig)))
+
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    found = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_multitable(sigs, max_hamming=12).collect()
+        if r["id_a"] == 0
+    }
+    missing = expected - found
+    assert not missing, f"multi-table recall failed: missing {missing}"
+    assert not any(b == 999 for _, b, _ in found), "beyond-radius pair reported"
+
+
+def test_multitable_buckets_bounded_on_spread_fixture(spark):
+    """The point of the multi-table construction: on uniformly-spread
+    64-bit signatures at radius 12, single-table pigeonhole bands are ~5
+    bits wide and buckets engulf n/32 of the corpus, while the q-block
+    multi-table keys (~13 bits) keep the largest bucket tiny."""
+    import numpy as np
+
+    from audio_quality_checker_spark.operators.dedup import (
+        _multitable_banded,
+    )
+
+    n = 5_000
+    rng = np.random.default_rng(17)
+    sigs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "simhash": rng.integers(
+                    np.iinfo(np.int64).min, np.iinfo(np.int64).max,
+                    n, dtype=np.int64,
+                ),
+            }
+        )
+    )
+    multi = _multitable_banded(sigs, "doc_id", max_hamming=12,
+                               key_blocks=None, table_cap=512)
+    max_multi = (
+        multi.groupBy("tbl_idx", "key_hash")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # single-table equivalent at h=12: 13 bands of ~5 bits
+    from audio_quality_checker_spark.operators.dedup import _band_ranges
+
+    single_avg = n / 2 ** (64 // 13)  # ~ n/32 per bucket on average
+    assert max_multi <= 50, (
+        f"multi-table max bucket {max_multi} is not bounded"
+    )
+    assert max_multi < single_avg / 3, (
+        f"multi-table max bucket {max_multi} should be far below the "
+        f"single-table AVERAGE {single_avg:.0f}"
+    )
+    assert len(_band_ranges(13)) == 13  # the single-table shape it replaces
+
+
 def test_char_shingles_find_cjk_near_dups(spark):
     """Whitespace shingling collapses an unsegmented (CJK) document into
     ONE token, so word-mode minhash only ever finds exact matches there;
