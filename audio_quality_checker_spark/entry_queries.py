@@ -710,6 +710,28 @@ WHERE round(list_dot_product(a.emb, b.emb)
 # oracles (brute-force top-k, exact jaccard, exact quantiles).
 # ---------------------------------------------------------------------------
 
+def q_near_dup_pairs(spark, sf):
+    """The engine's DEFAULT near-dup surface (the guarded hybrid): exact
+    all-pairs Jaccard inside (lang, len_blk) blocks up to block_cap rows,
+    MinHash-LSH candidates + exact verification for oversized blocks —
+    the quadratic guardrail the sampling caps embody in the reference
+    (bit_depth.rs:122,200).  block_cap=40 routes the hot `en` blocks
+    through LSH at both sf0.01 and sf0.1 while the long-tail blocks stay
+    exact, so the driver exercises BOTH routes.  Rows-only driver check:
+    the LSH route's recall is the banding collision probability, not
+    SQL-reproducible; precision is exact on both routes (every emitted
+    jaccard is the true value >= threshold)."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+
+    d = load(spark, sf, "documents")
+    out = jaccard_pairs_guarded(d, threshold=0.5, block_cap=40)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_minhash_dedup(spark, sf):
     from audio_quality_checker_spark.operators.dedup import minhash_near_dups
 
@@ -1299,6 +1321,7 @@ REGISTRY: dict[str, tuple] = {
     "diff_p95": (q_diff_p95, SQL_DIFF_P95),
     "array_pos_agg": (q_array_pos_agg, SQL_ARRAY_POS_AGG),
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
+    "near_dup_pairs": (q_near_dup_pairs, None),
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),

@@ -308,6 +308,60 @@ def test_lsh_route_searches_same_pair_universe_as_exact(spark, corpus):
             assert p in routed, f"LSH route missed in-block pair {p}"
 
 
+def test_guarded_mixed_routes_one_hot_block(spark):
+    """The production shape: ONE oversized (lang, len_blk) block routes
+    through LSH while the long tail stays exact — planted pairs in both
+    kinds of block must surface from a single call."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+
+    # docs built from per-doc-unique fixed-width tokens so unrelated
+    # token SETS are disjoint (the tiny shared WORDS vocab would make
+    # every token-set jaccard ~1.0); the planted dup keeps 100/120 tokens
+    # (set jaccard 100/140 = 0.71 >= threshold)
+    def tokens(prefix: str, i: int, swap: int = 0) -> str:
+        toks = [f"{prefix}{i:03d}{j:03d}" for j in range(120)]
+        if swap:
+            toks[-swap:] = [f"swap{j:04d}" for j in range(swap)]
+        return " ".join(toks)
+
+    rows = []
+    # hot block: 120 'en' docs of equal length, one planted near-dup pair
+    for i in range(120):
+        rows.append((i, "en", tokens("h", i)))
+    rows.append((500, "en", tokens("h", 10, swap=20)))
+    # cold block: 6 'de' docs, one planted pair
+    for i in range(6):
+        rows.append((600 + i, "de", tokens("d", i)))
+    rows.append((700, "de", tokens("d", 0, swap=20)))
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    )
+    cap = 50
+    # fixture property: the en block really is oversized, de is not
+    from pyspark.sql import functions as SF
+    blk = (
+        df.groupBy("lang", F.floor(F.length("text") / 100).alias("b"))
+        .count()
+    )
+    en_max = blk.where(SF.col("lang") == "en").agg(SF.max("count")).first()[0]
+    de_max = blk.where(SF.col("lang") == "de").agg(SF.max("count")).first()[0]
+    assert en_max > cap, "fixture must have an oversized en block"
+    assert de_max <= cap, "fixture must keep the de block exact-routed"
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_guarded(df, threshold=0.5,
+                                       block_cap=cap).collect()
+    }
+    assert (10, 500) in found, "LSH route missed the hot-block pair"
+    assert (600, 700) in found, "exact route missed the cold-block pair"
+    # unrelated docs share no tokens: nothing else may pair
+    assert found == {(10, 500), (600, 700)}, f"false positives: {found}"
+
+
 def test_simhash_radius_zero_is_exact_dup_join(spark):
     """max_hamming=0 means one 64-bit band: the full-width mask must not
     overflow LongType, and only bit-identical signatures may pair."""
