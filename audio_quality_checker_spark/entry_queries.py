@@ -368,6 +368,40 @@ FROM d2 GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# 11b. delta_weighted — MFCC weighted delta-regression window
+#      (mfcc.rs:276-305: weighted least-squares slope over ±2 frames with
+#      replicate-edge padding, plus the triangular sum(w·x)/sum(w) mean)
+# ---------------------------------------------------------------------------
+
+def q_delta_weighted(spark, sf):
+    from audio_quality_checker_spark.operators.stats import weighted_delta
+
+    e = load(spark, sf, "events")
+    return weighted_delta(
+        e, "value", part_cols=["user_id"], order_cols=["ts", "event_id"],
+        half_width=2,
+    ).select("user_id", "event_id", "delta_w", "tri_wmean")
+
+
+SQL_DELTA_WEIGHTED = """
+WITH offs AS (
+  SELECT user_id, event_id, value,
+         coalesce(lag(value, 2)  OVER w, value) AS m2,
+         coalesce(lag(value, 1)  OVER w, value) AS m1,
+         coalesce(lead(value, 1) OVER w, value) AS p1,
+         coalesce(lead(value, 2) OVER w, value) AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       round((1.0 * (p1 - m1) + 2.0 * (p2 - m2)) / 10.0, 6) AS delta_w,
+       round((1.0*m2 + 2.0*m1 + 3.0*value + 2.0*p1 + 1.0*p2) / 9.0, 6)
+         AS tri_wmean
+FROM offs
+"""
+
+
+# ---------------------------------------------------------------------------
 # 12. price_band_join — broadcast range/theta join against a tiny literal
 #     dimension (signature interval-containment heir, spectral.rs:492-541)
 # ---------------------------------------------------------------------------
@@ -1298,6 +1332,7 @@ REGISTRY: dict[str, tuple] = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "moving_average": (q_moving_average, SQL_MOVING_AVERAGE),
+    "delta_weighted": (q_delta_weighted, SQL_DELTA_WEIGHTED),
     "flux": (q_flux, SQL_FLUX),
     "price_band_join": (q_price_band_join, SQL_PRICE_BAND_JOIN),
     "cum_median_bucket": (q_cum_median_bucket, SQL_CUM_MEDIAN_BUCKET),

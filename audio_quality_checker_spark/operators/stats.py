@@ -205,3 +205,56 @@ def distribution_counts_all(features: DataFrame) -> DataFrame:
     )
     w = W.partitionBy("p_day", "column_name")
     return counts.withColumn("total", F.sum("count").over(w))
+
+
+def weighted_delta(df: DataFrame, value_col: str, part_cols: list[str],
+                   order_cols: list[str], half_width: int = 2) -> DataFrame:
+    """MFCC-style WEIGHTED delta-regression window (mfcc.rs:276-305): the
+    reference's delta coefficient is a weighted least-squares slope over
+    a ±N frame window,
+
+        delta[t] = sum_{n=1..N} n * (x[t+n] - x[t-n]) / (2 * sum n^2)
+
+    with replicate-edge padding at sequence boundaries.  Also emits the
+    triangular-weighted window mean sum(w·x)/sum(w) with w = N+1-|n| —
+    the weighted-window aggregation shape itself.
+
+    Spark expression: each relative offset is its own lead/lag column
+    (built-in window functions, whole-stage codegen — weights that depend
+    on the relative position inside the frame are not expressible with a
+    frame-aggregate like avg(), but a fixed ±N window unrolls into 2N
+    offset columns over ONE Window spec, so the whole kernel costs one
+    shuffle-and-sort and no UDF).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*part_cols).orderBy(*order_cols)
+    x = F.col(value_col)
+
+    def off(n: int):
+        if n == 0:
+            return x
+        shifted = (
+            F.lead(value_col, n).over(w) if n > 0
+            else F.lag(value_col, -n).over(w)
+        )
+        return F.coalesce(shifted, x)  # replicate-edge padding
+
+    norm = 2 * sum(n * n for n in range(1, half_width + 1))
+    delta = sum(
+        (F.lit(float(n)) * (off(n) - off(-n)) for n in range(1, half_width + 1)),
+        F.lit(0.0),
+    ) / F.lit(float(norm))
+    wsum = sum(
+        (F.lit(float(half_width + 1 - abs(n))) * off(n)
+         for n in range(-half_width, half_width + 1)),
+        F.lit(0.0),
+    )
+    wtot = float(sum(half_width + 1 - abs(n)
+                     for n in range(-half_width, half_width + 1)))
+    return df.select(
+        *part_cols,
+        *order_cols,
+        F.round(delta, 6).alias("delta_w"),
+        F.round(wsum / F.lit(wtot), 6).alias("tri_wmean"),
+    )
