@@ -113,3 +113,67 @@ def test_image_near_dups_via_ahash(spark):
     # random 32x32 noise images shouldn't collide within hamming 5
     false_pairs = {k for k in pairs if k != (0, 500)}
     assert len(false_pairs) <= 1, f"too many accidental pairs: {false_pairs}"
+
+
+def test_ahash_cells_vectorized_matches_looped_reference():
+    """The reduceat grid means must equal the per-cell slice .mean() the
+    operator originally used, for non-multiple-of-8 shapes included."""
+    rng = np.random.default_rng(3)
+    for h, w in [(8, 8), (17, 23), (64, 64), (100, 37), (9, 250)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ys = (np.arange(9) * h // 8)
+        xs = (np.arange(9) * w // 8)
+        looped = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                looped[i, j] = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+        col_sums = np.add.reduceat(img.astype(np.int64), xs[:-1], axis=1)
+        cell_sums = np.add.reduceat(col_sums, ys[:-1], axis=0)
+        vec = cell_sums / np.outer(np.diff(ys), np.diff(xs))
+        assert np.array_equal(vec, looped), (h, w)
+
+
+def test_real_codec_decode_when_pil_present(spark):
+    """With PIL installed, a real PNG payload must decode through the
+    actual codec (skipped in containers without PIL — the IMG1 tests
+    above cover the plumbing there)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from audio_quality_checker_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    arr = (np.arange(30 * 20, dtype=np.uint8) % 251).reshape(30, 20)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [1], "kind": ["image"],
+             "payload": [buf.getvalue()],
+             "meta": [{}]}
+        )
+    )
+    row = decode_features(assets).collect()[0]
+    assert row["error"] is None
+    assert (row["width"], row["height"]) == (20, 30)
+    assert abs(row["mean_intensity"] - float(arr.mean())) < 1e-9
+
+
+def test_real_container_without_pil_is_poison_row(spark):
+    """A non-IMG1 payload without a codec library must become an error
+    row naming the missing codec, never a task failure."""
+    from audio_quality_checker_spark.operators import multimodal as mm
+
+    if mm._HAS_PIL:
+        pytest.skip("PIL installed: the real-codec path applies instead")
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [1], "kind": ["image"],
+             "payload": [b"\x89PNG\r\n\x1a\n" + b"\x00" * 64],
+             "meta": [{}]}
+        )
+    )
+    row = mm.decode_features(assets).collect()[0]
+    assert row["width"] is None
+    assert "codec" in row["error"]
