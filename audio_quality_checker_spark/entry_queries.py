@@ -781,19 +781,30 @@ def q_simhash_dedup(spark, sf):
 
 
 def q_ann_topk(spark, sf):
+    """Hyperplane-LSH ANN.  band_bits is the recall dial: this corpus's
+    true top-5 neighbors sit at cosine 0.26-0.49 (hard for sign-LSH), so
+    2-bit bands are needed for recall@5 ~0.9 here (6-bit bands measured
+    0.11).  At web scale band_bits grows with log(n) and sign-LSH suits
+    HIGH-similarity retrieval (near-dup vectors); ivf_topk below is the
+    general-kNN scale path.  Bounds-checked by scripts/check_oracles.py:
+    recall@5 vs the exact DuckDB top-k must clear 0.70."""
     from audio_quality_checker_spark.operators.similarity import lsh_topk
 
     e = load(spark, sf, "embeddings")
     queries = e.where(F.col("vec_id") < 20)
-    return lsh_topk(queries, e, dim=64, k=5)
+    return lsh_topk(queries, e, dim=64, k=5, n_planes=12, band_bits=2)
 
 
 def q_ivf_topk(spark, sf):
+    """IVF ANN, the kNN scale path.  n_probe/n_lists is the recall dial
+    (measured here: 3/8 -> 0.68, 4/8 -> 0.79, 5/8 -> 0.90 recall@5); at
+    scale n_lists ~ sqrt(n) so the probed fraction shrinks with the
+    corpus.  Bounds-checked: recall@5 vs exact top-k must clear 0.70."""
     from audio_quality_checker_spark.operators.similarity import ivf_topk
 
     e = load(spark, sf, "embeddings")
     queries = e.where(F.col("vec_id") < 20)
-    return ivf_topk(queries, e, dim=64, k=5, n_lists=8, n_probe=3)
+    return ivf_topk(queries, e, dim=64, k=5, n_lists=8, n_probe=4)
 
 
 # brute-force exact top-k IS SQL-expressible — the ANN family's oracle

@@ -67,9 +67,217 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+# ---------------------------------------------------------------------------
+# Bounds mode: machine checks for the queries with no SQL-expressible
+# oracle (LSH/sketch/k-means kernels).  Each returns a list of problem
+# strings (empty = pass) given the Spark result rows, so every REGISTRY
+# row carries SOME machine verdict: hash-match, or a named bound.
+# ---------------------------------------------------------------------------
+
+def _shingle_set(text: str, k: int = 5) -> frozenset:
+    toks = [t for t in (text or "").strip().split() if t]
+    if not toks:
+        return frozenset()
+    if len(toks) < k:
+        return frozenset({" ".join(toks)})
+    return frozenset(" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1))
+
+
+def _texts(con) -> dict:
+    return dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+
+
+def _bounds_kll(spark, sf, con, rows, cols):
+    """Sketch quantile must sit within the KLL rank-error bound (0.025,
+    the pytest bound for k=200) of the exact per-lang rank."""
+    idx = {c: i for i, c in enumerate(cols)}
+    problems = []
+    for r in rows:
+        lang = r[idx["lang"]]
+        for q, col in ((0.5, "q_50"), (0.95, "q_95")):
+            est = r[idx[col]]
+            rank = con.execute(
+                "SELECT avg(CASE WHEN n_chars <= ? THEN 1.0 ELSE 0.0 END) "
+                "FROM documents WHERE lang = ?", [est, lang]
+            ).fetchone()[0]
+            if abs(rank - q) > 0.025:
+                problems.append(
+                    f"{lang}/{col}: rank error {abs(rank - q):.4f} > 0.025"
+                )
+    return problems
+
+
+def _exact_topk(con, max_qid: int, k: int) -> dict:
+    """query_id -> set(neighbor_id) exact cosine top-k from DuckDB."""
+    rows = con.execute(f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_dot_product(q.emb, c.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+          FROM v q CROSS JOIN v c
+          WHERE q.vec_id < {max_qid} AND q.vec_id != c.vec_id
+        ), ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, nid ASC) AS rk FROM scored
+        ) SELECT qid, nid FROM ranked WHERE rk <= {k}
+    """).fetchall()
+    out: dict = {}
+    for qid, nid in rows:
+        out.setdefault(qid, set()).add(nid)
+    return out
+
+
+def _bounds_ann(floor: float):
+    def check(spark, sf, con, rows, cols):
+        idx = {c: i for i, c in enumerate(cols)}
+        exact = _exact_topk(con, 20, 5)
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r[idx["query_id"]], set()).add(r[idx["neighbor_id"]])
+        hits = sum(len(got.get(q, set()) & e) for q, e in exact.items())
+        total = sum(len(e) for e in exact.values())
+        recall = hits / total if total else 1.0
+        if recall < floor:
+            return [f"recall@5 {recall:.3f} < floor {floor}"]
+        return []
+    return check
+
+
+def _bounds_simhash(spark, sf, con, rows, cols):
+    """The construction guarantees EXACTNESS (complete recall inside the
+    radius, hamming predicate kills everything outside): brute-force the
+    signatures in numpy and require set equality."""
+    import numpy as np
+
+    from audio_quality_checker_spark.operators.dedup import simhash_signatures
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    sig_rows = simhash_signatures(d).collect()
+    ids = np.array([r["doc_id"] for r in sig_rows], dtype=np.int64)
+    sigs = np.array([r["simhash"] for r in sig_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order].view(np.uint64)
+    xor = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros(xor.shape, dtype=np.int64)
+    v = xor.copy()
+    for _ in range(64):
+        ham += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    ia, ib = np.where(np.triu(ham <= 12, k=1))
+    expected = {(int(ids[a]), int(ids[b]), int(ham[a, b])) for a, b in zip(ia, ib)}
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {(r[idx["id_a"]], r[idx["id_b"]], r[idx["hamming"]]) for r in rows}
+    problems = []
+    if got != expected:
+        problems.append(
+            f"pair set != brute force: missing {len(expected - got)}, "
+            f"spurious {len(got - expected)}"
+        )
+    return problems
+
+
+def _bounds_minhash(spark, sf, con, rows, cols):
+    """(a) every exact-duplicate text pair must be reported with
+    est_jaccard 1.0; (b) every reported estimate must sit within 4
+    binomial stderr (<=0.18 at 128 hashes) of the true shingle-set
+    jaccard recomputed independently in Python."""
+    idx = {c: i for i, c in enumerate(cols)}
+    texts = _texts(con)
+    got = {(r[idx["id_a"]], r[idx["id_b"]]): r[idx["est_jaccard"]] for r in rows}
+    problems = []
+    dup_pairs = con.execute("""
+        SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+    """).fetchall()
+    for a, b in dup_pairs:
+        if got.get((a, b)) != 1.0:
+            problems.append(f"exact dup ({a},{b}) not reported at 1.0")
+    shingles = {i: _shingle_set(t) for i, t in texts.items()}
+    for (a, b), est in got.items():
+        sa, sb = shingles[a], shingles[b]
+        union = len(sa | sb)
+        true_j = (len(sa & sb) / union) if union else 1.0
+        if abs(est - true_j) > 0.18:
+            problems.append(
+                f"({a},{b}): est {est:.3f} vs true {true_j:.3f} (>0.18 off)"
+            )
+    return problems
+
+
+def _bounds_near_dup(spark, sf, con, rows, cols):
+    """(a) every emitted pair's jaccard must EQUAL the true token-set
+    jaccard and clear the threshold (precision is exact on both routes);
+    (b) pairs whose (lang, len-block) is within block_cap must match the
+    exhaustive DuckDB pairwise result exactly (the exact route is
+    complete by construction)."""
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {(r[idx["id_a"]], r[idx["id_b"]]): r[idx["jaccard"]] for r in rows}
+    tok_rows = con.execute("""
+        SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT),
+               list_distinct(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t != ''))
+        FROM documents
+    """).fetchall()
+    toks = {r[0]: (r[1], r[2], frozenset(r[3])) for r in tok_rows}
+    problems = []
+    for (a, b), j in got.items():
+        sa, sb = toks[a][2], toks[b][2]
+        union = len(sa | sb)
+        true_j = round(len(sa & sb) / union, 6) if union else None
+        if true_j is None or abs(j - true_j) > 1e-6 or j < 0.5:
+            problems.append(f"({a},{b}): jaccard {j} != true {true_j}")
+    from collections import Counter
+
+    blk_n = Counter((lang, blk) for lang, blk, _ in toks.values())
+    small_expected = set()
+    items = sorted(toks.items())
+    by_block: dict = {}
+    for did, (lang, blk, s) in items:
+        by_block.setdefault((lang, blk), []).append((did, s))
+    for key, members in by_block.items():
+        if blk_n[key] > 40:
+            continue
+        for i in range(len(members)):
+            for j2 in range(i + 1, len(members)):
+                (da, sa), (db, sb) = members[i], members[j2]
+                union = len(sa | sb)
+                if union and len(sa & sb) / union >= 0.5 - 1e-12:
+                    if round(len(sa & sb) / union, 6) >= 0.5:
+                        small_expected.add((da, db))
+    small_got = {
+        p for p in got
+        if blk_n[(toks[p[0]][0], toks[p[0]][1])] <= 40
+        and toks[p[0]][:2] == toks[p[1]][:2]
+    }
+    if small_got != small_expected:
+        problems.append(
+            f"exact-route pairs mismatch: missing "
+            f"{len(small_expected - small_got)}, spurious "
+            f"{len(small_got - small_expected)}"
+        )
+    return problems
+
+
+BOUNDS = {
+    "kll_quantiles": _bounds_kll,
+    "ann_topk": _bounds_ann(0.70),
+    "ivf_topk": _bounds_ann(0.70),
+    "simhash_dedup": _bounds_simhash,
+    "minhash_dedup": _bounds_minhash,
+    "near_dup_pairs": _bounds_near_dup,
+}
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    json_out = "--json" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    records: dict[str, dict] = {}
 
     from audio_quality_checker_spark.entry_queries import REGISTRY, TABLES
     from audio_quality_checker_spark.session import get_spark
@@ -91,10 +299,32 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            records[name] = {"check": "spark_error", "pass": False}
             print(f"{name:24s} SPARK ERROR: {str(e)[:140]}")
             continue
         if sql is None:
-            print(f"{name:24s} rows={len(s_rows):6d}  (no oracle — rows-only)")
+            bounds = BOUNDS.get(name)
+            if bounds is None:
+                records[name] = {"check": "rows_only", "pass": True,
+                                 "rows": len(s_rows)}
+                print(f"{name:24s} rows={len(s_rows):6d}  (no oracle — rows-only)")
+                continue
+            try:
+                probs = bounds(spark, sf_dir, con, s_rows, s_cols)
+            except Exception as e:  # noqa: BLE001
+                probs = [f"BOUNDS ERROR: {e}"]
+            if probs:
+                failures.append((name, "; ".join(probs)))
+                print(f"{name:24s} BOUNDS FAIL  {'; '.join(probs)[:160]}")
+            else:
+                print(f"{name:24s} BOUNDS OK  rows={len(s_rows)}")
+            records[name] = {
+                "check": "bounds", "pass": not probs,
+                "rows": len(s_rows),
+                "detail": (bounds.__doc__ or "recall floor vs exact "
+                           "top-k").strip().split("\n")[0],
+                "problems": probs,
+            }
             continue
         try:
             res = con.sql(sql)
@@ -128,11 +358,22 @@ def main():
                         print(f"   spark : {a[:160]}")
                         print(f"   duckdb: {b[:160]}")
                         break
+        records[name] = {"check": "sql_oracle", "pass": not problems,
+                         "rows": len(s_rows)}
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"{name:24s} FAIL  {'; '.join(problems)}")
         else:
             print(f"{name:24s} OK    rows={len(s_rows)}")
+
+    if json_out:
+        import json
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_bounds.json")
+        with open(path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": records}, f, indent=1)
+        print(f"wrote {path}")
 
     print()
     if failures:
