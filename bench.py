@@ -20,48 +20,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "column_stats",
-    "length_histogram",
-    "uniqueness",
-    "entropy",
-    "psi_lang",
-    "referential",
-    "quantiles",
-    "tpch_q1",
-    "topk_per_group",
-    "moving_average",
-    "flux",
-    "price_band_join",
-    "cum_median_bucket",
-    "weighted_vote",
-    "window_tumbling",
-    "dedup_exact",
-    "token_stats",
-    "lang_id",
-    "jaccard_pairs",
-    "cosine_pairs",
-    "token_budget",
-    "rollup_report",
-    "minhash_dedup",
-    "simhash_dedup",
-    "ann_topk",
-    "kll_quantiles",
-    "quality_scores",
-    # round 2 additions
-    "schema_check",
-    "corr_stats",
-    "trend_slope",
-    "transients",
-    "band_contrast",
-    "deviation_join",
-    "diff_p95",
-    "array_pos_agg",
-    "ivf_topk",
-    "brute_topk",
-    "trimmed_mean",
-    "equi_tolerance",
-]
+# every REGISTRY query is headline — resolved at runtime so a new
+# queries() entry is automatically benched (a hardcoded list silently
+# dropped two round-3 queries before this)
+HEADLINE = None
 
 
 def main() -> int:
@@ -96,7 +58,7 @@ def main() -> int:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(100).collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (HEADLINE or list(REGISTRY)):
         fn, _ = REGISTRY[name]
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

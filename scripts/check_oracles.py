@@ -166,7 +166,7 @@ def _bounds_simhash(spark, sf, con, rows, cols):
     for _ in range(64):
         ham += (v & np.uint64(1)).astype(np.int64)
         v >>= np.uint64(1)
-    ia, ib = np.where(np.triu(ham <= 12, k=1))
+    ia, ib = np.where(np.triu(ham <= 6, k=1))
     expected = {(int(ids[a]), int(ids[b]), int(ham[a, b])) for a, b in zip(ia, ib)}
     idx = {c: i for i, c in enumerate(cols)}
     got = {(r[idx["id_a"]], r[idx["id_b"]], r[idx["hamming"]]) for r in rows}
