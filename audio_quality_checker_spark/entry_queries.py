@@ -767,6 +767,40 @@ WHERE round(list_dot_product(a.emb, b.emb)
 # oracles (brute-force top-k, exact jaccard, exact quantiles).
 # ---------------------------------------------------------------------------
 
+def q_chunk_explode(spark, sf):
+    """Chunked per-row expansion (true_peak.rs:104-117 analog): documents
+    -> overlapping fixed-token windows as rows, all in whole-stage
+    codegen (split/sequence/slice/posexplode, no UDF)."""
+    from audio_quality_checker_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    d = load(spark, sf, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+SQL_CHUNK_EXPLODE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id, tk,
+         CAST(1 + ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) AS n_win
+  FROM toks WHERE len(tk) > 0
+), expanded AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         list_slice(tk, i * 48 + 1, i * 48 + 64) AS win
+  FROM wins, unnest(range(n_win)) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(win, ' ') AS chunk_text,
+       len(win) AS n_tokens
+FROM expanded
+"""
+
+
 def q_near_dup_pairs(spark, sf):
     """The engine's DEFAULT near-dup surface (the guarded hybrid): exact
     all-pairs Jaccard inside (lang, len_blk) blocks up to block_cap rows,
@@ -1397,6 +1431,7 @@ REGISTRY: dict[str, tuple] = {
     "deviation_join": (q_deviation_join, SQL_DEVIATION_JOIN),
     "diff_p95": (q_diff_p95, SQL_DIFF_P95),
     "array_pos_agg": (q_array_pos_agg, SQL_ARRAY_POS_AGG),
+    "chunk_explode": (q_chunk_explode, SQL_CHUNK_EXPLODE),
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
     "near_dup_pairs": (q_near_dup_pairs, None),
     "minhash_dedup": (q_minhash_dedup, None),

@@ -64,3 +64,48 @@ def host_counts_salted(features: DataFrame, n_salts: int = 16) -> DataFrame:
         n_salts=n_salts,
         unique_col="url",
     )
+
+
+def topk_per_key(df: DataFrame, key: str, order_col: str, k: int,
+                 tiebreak: str) -> DataFrame:
+    """Unsalted top-k per key: one Window sort per key — the TRUE skew
+    victim.  Unlike groupBy aggregates (map-side partial combine absorbs
+    hot keys) and count_distinct (the planner's two-phase expand spreads
+    the hot key by value), a Window partitionBy(key) puts EVERY row of a
+    hot key into one task: a host owning 40% of a 10M-row corpus means
+    one task sorts 4M rows while the rest idle.  Kept as the A-side of
+    the skew bench; `salted_topk` is the production path."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def salted_topk(df: DataFrame, key: str, order_col: str, k: int,
+                tiebreak: str, n_salts: int = 16) -> DataFrame:
+    """Two-level salted top-k: per-(key, salt) top-k first (hot key's
+    rows split across n_salts tasks), then top-k over the <= n_salts * k
+    survivors per key.  Exact — the global top-k of a key is a subset of
+    the union of its per-salt top-k — and the stage-2 window only ever
+    sorts n_salts * k rows per key, whatever the skew."""
+    from pyspark.sql import Window as W
+
+    salted = with_salt(df, n_salts, unique_col=tiebreak)
+    w1 = W.partitionBy(key, "_salt").orderBy(
+        F.desc(order_col), F.asc(tiebreak)
+    )
+    stage1 = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+    )
+    w2 = W.partitionBy(key).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return (
+        stage1.drop("_rk", "_salt")
+        .withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -110,12 +110,19 @@ def partition_day(category: str) -> str:
     return d.strftime("%Y-%m-%d")
 
 
-def _make_url(cat_id: int, idx: int, seed: int) -> str:
+def _make_url(cat_id: int, idx: int, seed: int,
+              hot_frac: float | None = None) -> str:
     rng = SplitMixRNG(seed, cat_id, idx, _F_URL)
     cat = CATEGORIES[cat_id][0]
     if cat == "UnknownHost" and rng.uniform() < 0.05:
         host = rng.choice(ROGUE_HOSTS)
     elif cat == "SkewHost" and rng.uniform() < 0.40:
+        host = HOSTS[0]
+    elif hot_frac and rng.uniform() < hot_frac:
+        # pathological-host corpus (SURVEY §7 known-hard #5): ONE host
+        # owns `hot_frac` of EVERY category — the global skew the salted
+        # operators exist for.  Off (None) by default: the golden corpus
+        # and all verdict fixtures are unchanged.
         host = HOSTS[0]
     else:
         host = rng.choice(HOSTS)
@@ -146,7 +153,8 @@ def _make_body(cat: str, rng: SplitMixRNG, lang) -> tuple[str, list[str]]:
     return title, paras
 
 
-def make_page(category: str, idx: int, seed: int = SEED) -> dict:
+def make_page(category: str, idx: int, seed: int = SEED,
+              hot_frac: float | None = None) -> dict:
     """One fully-deterministic pages row. Pure function of (category, idx, seed)."""
     cat_id = _CAT_ID[category]
     rng_lang = SplitMixRNG(seed, cat_id, idx, _F_LANG)
@@ -164,11 +172,12 @@ def make_page(category: str, idx: int, seed: int = SEED) -> dict:
     html = html_str.encode("utf-8")
 
     rng_def = SplitMixRNG(seed, cat_id, idx, _F_DEFECT)
-    url = _make_url(cat_id, idx, seed)
+    url = _make_url(cat_id, idx, seed, hot_frac)
     _DUP_P = {"DupUrl": 0.10, "Combined_Dup_Drift": 0.10,
               "WeakDup_Drift": 0.03, "WeakDup": 0.03}
     if idx > 0 and category in _DUP_P and rng_def.uniform() < _DUP_P[category]:
-        url = _make_url(cat_id, idx - 1, seed)  # duplicate the previous row's url
+        # duplicate the previous row's url
+        url = _make_url(cat_id, idx - 1, seed, hot_frac)
 
     text: str | None = extract_text(html)
     bad_ts = False
@@ -223,11 +232,13 @@ PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang strin
 
 
 def gen_pages_spark(spark, rows_per_category: int, categories=None, seed: int = SEED,
-                    parallelism: int | None = None):
+                    parallelism: int | None = None,
+                    hot_frac: float | None = None):
     """Distributed generation via mapInPandas over spark.range — the bench
     tier.  Each task generates its slice of (category, idx) space from the
     counter-based RNG, so output is identical to gen_pages_pdf for the
-    same parameters (asserted in tests)."""
+    same parameters (asserted in tests).  ``hot_frac`` builds the
+    pathological-host variant (see _make_url)."""
     from pyspark.sql import functions as F
 
     cats = categories or CATEGORY_NAMES
@@ -238,7 +249,8 @@ def gen_pages_spark(spark, rows_per_category: int, categories=None, seed: int = 
     def gen(batches):
         for pdf in batches:
             recs = [
-                make_page(cats[int(g) % n_cats], int(g) // n_cats, seed)
+                make_page(cats[int(g) % n_cats], int(g) // n_cats, seed,
+                          hot_frac)
                 for g in pdf["id"]
             ]
             yield pd.DataFrame(recs)

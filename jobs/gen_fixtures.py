@@ -19,6 +19,9 @@ def main(argv=None) -> int:
     ap.add_argument("--rows", type=int, default=170, help="rows per category")
     ap.add_argument("--distributed", action="store_true",
                     help="generate via mapInPandas (bench tier)")
+    ap.add_argument("--hot-host-frac", type=float, default=None,
+                    help="pathological-host corpus: ONE host owns this "
+                         "fraction of every category (skew bench tier)")
     args = ap.parse_args(argv)
 
     from audio_quality_checker_spark.session import get_spark
@@ -26,7 +29,7 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name="aqcs-gen-fixtures")
     if args.distributed:
-        df = P.gen_pages_spark(spark, args.rows)
+        df = P.gen_pages_spark(spark, args.rows, hot_frac=args.hot_host_frac)
         df.write.mode("overwrite").partitionBy("p_day").parquet(f"{args.out}/pages")
         spark.createDataFrame(P.ref_hosts_pdf()).write.mode("overwrite").parquet(
             f"{args.out}/ref_hosts"

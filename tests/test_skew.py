@@ -54,3 +54,35 @@ def test_salt_deterministic(spark):
     a = {r["url"]: r["_salt"] for r in with_salt(f, unique_col="url").collect()}
     b = {r["url"]: r["_salt"] for r in with_salt(f, unique_col="url").collect()}
     assert a == b
+
+
+def test_salted_topk_equals_unsalted(spark):
+    """Exactness of the two-level top-k: the global top-k of a key is a
+    subset of the union of its per-salt top-k, so the salted plan must
+    reproduce the unsalted result bit-for-bit on a 40%-hot key."""
+    import numpy as np
+    import pandas as pd
+
+    from audio_quality_checker_spark.operators.skew import (
+        salted_topk,
+        topk_per_key,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 10_000
+    hosts = np.where(
+        rng.uniform(size=n) < 0.4, "hot.example",
+        np.char.add("h", rng.integers(0, 40, n).astype(str)),
+    )
+    pdf = pd.DataFrame(
+        {"host": hosts, "text_len": rng.integers(0, 100_000, n),
+         "url": [f"u{i:06d}" for i in range(n)]}
+    )
+    df = spark.createDataFrame(pdf)
+    plain = {(r["host"], r["url"], r["text_len"])
+             for r in topk_per_key(df, "host", "text_len", 7, "url").collect()}
+    salted = {(r["host"], r["url"], r["text_len"])
+              for r in salted_topk(df, "host", "text_len", 7, "url").collect()}
+    assert salted == plain
+    hot = [t for t in plain if t[0] == "hot.example"]
+    assert len(hot) == 7
