@@ -311,7 +311,8 @@ def _band_ranges(n_bands: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                      text_col: str = "text", max_hamming: int = 3,
+                      collapse_exact: bool = True) -> DataFrame:
     """(id_a, id_b, hamming): all pairs within `max_hamming` bits —
     complete recall for the advertised radius at any setting.
 
@@ -326,13 +327,67 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
 
     Both routes keep the hamming predicate inside the join condition so
     non-matching collisions die before the distinct() shuffle.
+
+    ``collapse_exact`` (default on) deduplicates IDENTICAL signatures
+    before the banding join: web corpora are exact-dup-heavy, and a
+    value shared by m documents would otherwise occupy every one of its
+    buckets m times (the join inside a hot value alone is m^2, and every
+    hamming-0 pair is re-found in every band/table before distinct).
+    Collapsed, the pair search runs over DISTINCT signature values once;
+    hamming-0 pairs come straight off the groups and value-pairs expand
+    to document pairs afterward.  The emitted pair set is IDENTICAL
+    (asserted in tests).
     """
     sigs = simhash_signatures(df, id_col, text_col)
     sigs.persist()
     sigs.count()  # eager: the bucket self-join references sigs twice
-    if max_hamming <= 4:
-        return simhash_pairs_from_sigs(sigs, id_col, max_hamming)
-    return simhash_pairs_multitable(sigs, id_col, max_hamming)
+    route = (
+        simhash_pairs_from_sigs if max_hamming <= 4
+        else simhash_pairs_multitable
+    )
+    if not collapse_exact:
+        return route(sigs, id_col, max_hamming)
+    return _pairs_with_exact_collapse(sigs, id_col, max_hamming, route)
+
+
+def _pairs_with_exact_collapse(sigs: DataFrame, id_col: str,
+                               max_hamming: int, route) -> DataFrame:
+    """Run a simhash pair search over DISTINCT signature values, then
+    expand value-pairs back to document pairs and emit within-group
+    (hamming-0) pairs directly."""
+    groups = sigs.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    groups.persist()
+    groups.count()  # referenced by three subplans below
+    # the signature VALUE doubles as the row id for the pair search (it
+    # is unique here by construction, and any total order works)
+    values = groups.select(F.col("simhash").alias("vid"), "simhash")
+    vpairs = route(values, "vid", max_hamming)
+    ga = groups.select(F.col("simhash").alias("id_a"), F.col("ids").alias("_ia"))
+    gb = groups.select(F.col("simhash").alias("id_b"), F.col("ids").alias("_ib"))
+    cross = (
+        vpairs.join(ga, "id_a").join(gb, "id_b")
+        .select("hamming", F.explode("_ia").alias("_a"), "_ib")
+        .select("hamming", "_a", F.explode("_ib").alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        groups.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("_a"), "ids")
+        .select("_a", F.explode("ids").alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("id_a"),
+            F.col("_b").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id",

@@ -385,3 +385,24 @@ def test_exact_dup_groups(spark, corpus):
     groups = exact_dup_groups(df).collect()
     assert len(groups) == 1
     assert groups[0]["doc_ids"] == [3, 300]
+
+
+def test_exact_collapse_pair_set_identical(spark, corpus):
+    """The exact-signature collapse is a pure join optimization: the
+    emitted (id_a, id_b, hamming) set must be identical with and without
+    it, on both the pigeonhole and multi-table routes (the corpus has an
+    exact-dup pair, so the within-group path is exercised)."""
+    df, _ = corpus
+    for h in (3, 6):
+        plain = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dups(df, max_hamming=h,
+                                       collapse_exact=False).collect()
+        }
+        collapsed = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dups(df, max_hamming=h,
+                                       collapse_exact=True).collect()
+        }
+        assert collapsed == plain, f"h={h}: collapse changed the pair set"
+        assert any(hm == 0 for _, _, hm in collapsed), "exact dup missing"
