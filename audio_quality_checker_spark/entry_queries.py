@@ -830,6 +830,26 @@ def q_minhash_dedup(spark, sf):
     return minhash_near_dups(d, threshold=0.5)
 
 
+def q_dedup_components(spark, sf):
+    """Duplicate clusters: connected components over the MinHash pair
+    edges (iterative min-label propagation, operators/components.py) —
+    the keep-one-per-cluster stage of corpus dedup.  Rows-only driver
+    check; scripts/check_oracles.py bounds mode asserts exact equality
+    with a Python union-find over the same (deterministic) pairs."""
+    from audio_quality_checker_spark.operators.components import (
+        connected_components,
+    )
+    from audio_quality_checker_spark.operators.dedup import minhash_near_dups
+
+    d = load(spark, sf, "documents")
+    pairs = minhash_near_dups(d, threshold=0.5).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+
+
 def q_simhash_dedup(spark, sf):
     """Radius 6 exercises the Manku multi-table route (radii > 4 switch
     automatically) at a near-dup-meaningful setting.  Radius 12 (~81% bit
@@ -1435,6 +1455,7 @@ REGISTRY: dict[str, tuple] = {
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
     "near_dup_pairs": (q_near_dup_pairs, None),
     "minhash_dedup": (q_minhash_dedup, None),
+    "dedup_components": (q_dedup_components, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
     "ivf_topk": (q_ivf_topk, None),

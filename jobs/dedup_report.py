@@ -7,15 +7,14 @@
 Runs the engine's production near-dup surfaces and writes one parquet
 table per family plus a one-line JSON summary to stdout:
 
-  exact/     (content_hash, n_dups, doc_ids)     hash-groupBy
-  near_dup/  (id_a, id_b, jaccard)               guarded hybrid
-             (exact inside bounded blocks, block-keyed LSH beyond)
-  simhash/   (id_a, id_b, hamming)               pigeonhole/multi-table
-             by radius, exact-signature collapse on
-
-The report is the training-data-pipeline shape: feed `exact` and
-`near_dup` into a keep-one-per-group filter to produce the deduplicated
-corpus.
+  exact/      (content_hash, n_dups, doc_ids)    hash-groupBy
+  near_dup/   (id_a, id_b, jaccard)              guarded hybrid
+              (exact inside bounded blocks, block-keyed LSH beyond)
+  simhash/    (id_a, id_b, hamming)              pigeonhole/multi-table
+              by radius, exact-signature collapse on
+  components/ (doc_id, component)                connected components
+              over exact + near-dup edges: component != doc_id marks a
+              document the keep-one-per-cluster filter drops
 """
 
 from __future__ import annotations
@@ -70,11 +69,36 @@ def main(argv=None) -> int:
     sim.write.mode("overwrite").parquet(f"{args.out}/simhash")
     n_sim = spark.read.parquet(f"{args.out}/simhash").count()
 
+    # duplicate clusters over exact + near-dup edges -> keep-one filter
+    from pyspark.sql import functions as F
+
+    from audio_quality_checker_spark.operators.components import (
+        connected_components,
+    )
+
+    exact_pairs = (
+        spark.read.parquet(f"{args.out}/exact")
+        .select(
+            F.col("doc_ids")[0].alias("id_a"),
+            F.explode("doc_ids").alias("id_b"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    all_pairs = exact_pairs.unionByName(
+        spark.read.parquet(f"{args.out}/near_dup").select("id_a", "id_b")
+    )
+    comps = connected_components(all_pairs)
+    comps.write.mode("overwrite").parquet(f"{args.out}/components")
+    comps = spark.read.parquet(f"{args.out}/components")
+    n_dropped = comps.where(F.col("component") != F.col("doc_id")).count()
+
     print(json.dumps({
         "n_docs": n_docs,
         "exact_dup_groups": n_exact_groups,
         "near_dup_pairs": n_near,
         "simhash_pairs": n_sim,
+        "dup_cluster_members_dropped": n_dropped,
+        "n_docs_after_keep_one": n_docs - n_dropped,
         "out": args.out,
     }))
     return 0

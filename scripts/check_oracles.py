@@ -262,8 +262,49 @@ def _bounds_near_dup(spark, sf, con, rows, cols):
     return problems
 
 
+def _bounds_components(spark, sf, con, rows, cols):
+    """Exact equality with a driver-side union-find over the SAME
+    (deterministic, seeded) MinHash pair edges."""
+    from audio_quality_checker_spark.operators.dedup import minhash_near_dups
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(d, threshold=0.5)
+        .select("id_a", "id_b").collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected: dict = {}
+    for x in parent:
+        expected.setdefault(find(x), []).append(x)
+    expected = {
+        k: sorted(v) for k, v in expected.items()
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {r[idx["component"]]: sorted(r[idx["members"]]) for r in rows}
+    if got != expected:
+        return [
+            f"clusters != union-find: {len(set(expected) - set(got))} "
+            f"missing, {len(set(got) - set(expected))} spurious"
+        ]
+    return []
+
+
 BOUNDS = {
     "kll_quantiles": _bounds_kll,
+    "dedup_components": _bounds_components,
     "ann_topk": _bounds_ann(0.70),
     "ivf_topk": _bounds_ann(0.70),
     "simhash_dedup": _bounds_simhash,
