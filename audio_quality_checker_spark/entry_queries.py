@@ -936,6 +936,31 @@ def q_kll_quantiles(spark, sf):
     )
 
 
+def q_tdigest_quantiles(spark, sf):
+    """Same partial/merge sketch pipeline as kll_quantiles but hosted by
+    the t-digest (functions/tdigest.py) — the north rule names both
+    sketches; t-digest trades uniform rank error for tail accuracy.
+    Rows-only driver check; bounds mode asserts the 0.025 rank-error
+    envelope against exact per-lang ranks, same as KLL."""
+    from audio_quality_checker_spark.functions.tdigest import TDigest
+    from audio_quality_checker_spark.operators.quantiles import (
+        build_sketches,
+        sketch_quantiles,
+    )
+
+    d = load(spark, sf, "documents").select(
+        F.col("lang").alias("p_day"),
+        F.col("n_chars").cast("double").alias("text_len"),
+    )
+    sketches = build_sketches(
+        d, sketch_factory=lambda: TDigest(delta=200),
+        decoder=TDigest.from_bytes,
+    )
+    return sketch_quantiles(
+        sketches, [0.5, 0.95], decoder=TDigest.from_bytes
+    ).withColumnRenamed("p_day", "lang")
+
+
 def q_quality_scores(spark, sf):
     from audio_quality_checker_spark.functions.text_stats import (
         quality_features,
@@ -1461,6 +1486,7 @@ REGISTRY: dict[str, tuple] = {
     "ivf_topk": (q_ivf_topk, None),
     "brute_topk": (q_brute_topk, SQL_BRUTE_TOPK),
     "kll_quantiles": (q_kll_quantiles, None),
+    "tdigest_quantiles": (q_tdigest_quantiles, None),
     "quality_scores": (q_quality_scores, _sql_quality_scores()),
 }
 

@@ -304,6 +304,7 @@ def _bounds_components(spark, sf, con, rows, cols):
 
 BOUNDS = {
     "kll_quantiles": _bounds_kll,
+    "tdigest_quantiles": _bounds_kll,
     "dedup_components": _bounds_components,
     "ann_topk": _bounds_ann(0.70),
     "ivf_topk": _bounds_ann(0.70),
