@@ -227,10 +227,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 128,
                       bands: int = 32, threshold: float = 0.7,
-                      shingle_mode: str = "word") -> DataFrame:
+                      shingle_mode: str = "word",
+                      collapse_exact: bool = True) -> DataFrame:
     """(id_a, id_b, est_jaccard): LSH candidates verified by signature
     agreement (estimated Jaccard = fraction of equal MinHash components).
-    Use shingle_mode="char" for unsegmented scripts (zh/ja/th)."""
+    Use shingle_mode="char" for unsegmented scripts (zh/ja/th).
+
+    ``collapse_exact`` (default on) groups IDENTICAL signatures before
+    banding — same rationale and same identical-output guarantee as the
+    SimHash collapse (see simhash_near_dups): exact-dup-heavy web
+    corpora otherwise pay m copies of every bucket row, an m^2
+    within-value join, and per-band re-finds of every est=1.0 pair.
+    """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes,
                               shingle_mode=shingle_mode)
     # EAGER materialization: the one downstream action references sigs
@@ -239,22 +247,59 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     # (the round-1 measured cache-race pathology)
     sigs.persist()
     sigs.count()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, n_hashes=n_hashes)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    joined = cands.join(sa, "id_a").join(sb, "id_b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
+
+    def pairs_over(frame: DataFrame, fid: str) -> DataFrame:
+        cands = lsh_candidate_pairs(frame, fid, bands, n_hashes=n_hashes)
+        sa = frame.select(F.col(fid).alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = frame.select(F.col(fid).alias("id_b"), F.col("sig").alias("sig_b"))
+        joined = cands.join(sa, "id_a").join(sb, "id_b")
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
             )
+            / F.size("sig_a")
         )
-        / F.size("sig_a")
+        return joined.select(
+            "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+        ).where(F.col("est_jaccard") >= threshold)
+
+    if not collapse_exact:
+        return pairs_over(sigs, id_col)
+
+    groups = sigs.groupBy("sig").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids"),
+        F.min(id_col).alias("vid"),
     )
-    return joined.select(
-        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
-    ).where(F.col("est_jaccard") >= threshold)
+    groups.persist()
+    groups.count()
+    vpairs = pairs_over(groups.select("vid", "sig"), "vid")
+    ga = groups.select(F.col("vid").alias("id_a"), F.col("ids").alias("_ia"))
+    gb = groups.select(F.col("vid").alias("id_b"), F.col("ids").alias("_ib"))
+    cross = (
+        vpairs.join(ga, "id_a").join(gb, "id_b")
+        .select("est_jaccard", F.explode("_ia").alias("_a"), "_ib")
+        .select("est_jaccard", "_a", F.explode("_ib").alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    within = (
+        groups.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("_a"), "ids")
+        .select("_a", F.explode("ids").alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("id_a"),
+            F.col("_b").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

@@ -406,3 +406,22 @@ def test_exact_collapse_pair_set_identical(spark, corpus):
         }
         assert collapsed == plain, f"h={h}: collapse changed the pair set"
         assert any(hm == 0 for _, _, hm in collapsed), "exact dup missing"
+
+
+def test_minhash_exact_collapse_identical(spark, corpus):
+    """MinHash signature collapse: identical pair set and identical
+    estimates with and without (the corpus plants an exact dup, so the
+    within-group est=1.0 path fires)."""
+    df, _ = corpus
+    plain = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(df, threshold=0.5,
+                                   collapse_exact=False).collect()
+    }
+    collapsed = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(df, threshold=0.5,
+                                   collapse_exact=True).collect()
+    }
+    assert collapsed == plain
+    assert collapsed[(3, 300)] == 1.0
