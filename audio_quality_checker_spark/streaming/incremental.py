@@ -111,3 +111,35 @@ def stream_ingest_stats(spark: SparkSession, pages_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(spark: SparkSession, pages_dir: str, out_dir: str,
+                 key: str = "url", ts_col: str = "warc_ts",
+                 watermark: str = "2 days", query_name: str = "stream_dedup"):
+    """Streaming exact dedup: keep the FIRST arrival per `key` within the
+    watermark horizon — the ingest-time half of corpus dedup (the batch
+    half is jobs/dedup_report.py; this stops duplicate urls from ever
+    landing in the raw table).
+
+    `dropDuplicatesWithinWatermark` keys the state store on `key` and
+    expires entries once the event-time watermark passes, so state is
+    bounded by the dedup horizon instead of growing with the stream —
+    the only correct shape at an unbounded 10^12-doc ingest (a plain
+    dropDuplicates would pin every key forever).  Returns the
+    StreamingQuery; output appends deduplicated rows to parquet under
+    ``out_dir`` with a checkpoint for exactly-once resume.
+    """
+    stream = (
+        spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/deduped")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint_dedup")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -54,3 +54,37 @@ def test_stream_ingest_stats_windows(spark, stream_dir):
     days = {r["window_start"].strftime("%Y-%m-%d") for r in rows}
     assert {"2025-11-01", "2025-11-02"} <= days
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_stream_dedup_keeps_first_arrival(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate urls inside the horizon
+    collapse to one row across micro-batches; state expires with the
+    watermark instead of growing forever."""
+    from audio_quality_checker_spark.streaming.incremental import stream_dedup
+
+    root = str(tmp_path)
+    cats = ["DupUrl"]  # ~10% planted duplicate urls within the day
+    pages = spark.createDataFrame(gen_pages_pdf(150, categories=cats))
+    n_rows = pages.count()
+    n_urls = pages.select("url").distinct().count()
+    assert n_urls < n_rows, "fixture must contain duplicate urls"
+    pages.write.mode("overwrite").parquet(f"{root}/pages_in")
+
+    q = stream_dedup(spark, f"{root}/pages_in", f"{root}/out")
+    q.awaitTermination(120)
+    out = spark.read.parquet(f"{root}/out/deduped")
+    assert out.count() == n_urls
+    assert out.select("url").distinct().count() == n_urls
+
+    # restart with MORE data: previously-seen urls (still within the
+    # watermark horizon) must not reappear
+    extra = spark.createDataFrame(gen_pages_pdf(170, categories=cats))
+    extra.write.mode("append").parquet(f"{root}/pages_in")
+    q2 = stream_dedup(spark, f"{root}/pages_in", f"{root}/out")
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(f"{root}/out/deduped")
+    n_urls_total = (
+        spark.read.parquet(f"{root}/pages_in").select("url").distinct().count()
+    )
+    assert out2.select("url").distinct().count() == n_urls_total
+    assert out2.groupBy("url").count().agg({"count": "max"}).first()[0] == 1
