@@ -832,10 +832,15 @@ def q_minhash_dedup(spark, sf):
 
 def q_dedup_components(spark, sf):
     """Duplicate clusters: connected components over the MinHash pair
-    edges (iterative min-label propagation, operators/components.py) —
+    edges (large-star/small-star alternation, operators/components.py) —
     the keep-one-per-cluster stage of corpus dedup.  Rows-only driver
     check; scripts/check_oracles.py bounds mode asserts exact equality
-    with a Python union-find over the same (deterministic) pairs."""
+    with a Python union-find over the same (deterministic) pairs.
+
+    `members` is emitted as a comma-joined STRING, not array<bigint>:
+    the driver's canonicalizer sorts rows via pandas over all columns
+    and dies on unhashable list cells (the round-3 `err`); the bounds
+    gate re-parses the string and checks set equality on the ids."""
     from audio_quality_checker_spark.operators.components import (
         connected_components,
     )
@@ -846,7 +851,13 @@ def q_dedup_components(spark, sf):
     comps = connected_components(pairs)
     return comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
     )
 
 

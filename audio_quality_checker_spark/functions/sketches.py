@@ -30,10 +30,15 @@ import numpy as np
 from audio_quality_checker_spark.functions.hashing import SplitMixRNG
 
 DEFAULT_K = 200
-# version byte bumped with the wire format: v1 header was <iqii (no seed);
-# v2 added the seed (<iqiiq). A v1 blob must fail the magic check loudly
-# rather than unpack shifted fields silently.
+# Wire-format history: the ORIGINAL KLL1 header was <iqii (no seed); the
+# seed was later added (<iqiiq) WITHOUT bumping the magic, then the magic
+# was bumped to KLL2 with the layout unchanged.  So KLL2 is always
+# <iqiiq, while a KLL1 blob is ambiguous by magic alone — from_bytes
+# accepts both magics and disambiguates KLL1 by total-length consistency
+# (header + size table + level payloads must tile the blob exactly;
+# depth is tiny, so a false match is structurally implausible).
 _MAGIC = b"KLL2"
+_MAGIC_V1 = b"KLL1"
 
 
 class KLLSketch:
@@ -127,13 +132,49 @@ class KLLSketch:
         body = b"".join(np.ascontiguousarray(a).tobytes() for a in self.levels)
         return head + sizes + body
 
+    @staticmethod
+    def _layout_fits(raw: bytes, fmt: str, depth_idx: int) -> bool:
+        """True when header fmt + its depth's size table + float64 level
+        payloads tile `raw` exactly — the length-consistency check that
+        disambiguates the two KLL1 layouts."""
+        head_len = 4 + struct.calcsize(fmt)
+        if len(raw) < head_len:
+            return False
+        fields = struct.unpack_from(fmt, raw, 4)
+        depth = fields[depth_idx]
+        if not (1 <= depth <= 64):
+            return False
+        if len(raw) < head_len + 4 * depth:
+            return False
+        sizes = struct.unpack_from(f"<{depth}i", raw, head_len)
+        if any(s < 0 for s in sizes):
+            return False
+        return len(raw) == head_len + 4 * depth + 8 * sum(sizes)
+
     @classmethod
     def from_bytes(cls, raw: bytes) -> "KLLSketch":
-        if raw[:4] != _MAGIC:
+        if raw[:4] not in (_MAGIC, _MAGIC_V1):
             raise ValueError(
-                f"not a {_MAGIC.decode()} sketch (got {raw[:4]!r}); "
-                "v1 blobs (pre-seed header) are not readable"
+                f"not a KLL sketch (got {raw[:4]!r})"
             )
+        if raw[:4] == _MAGIC_V1 and not cls._layout_fits(raw, "<iqiiq", 3):
+            # original KLL1: <iqii, no seed — read with the default seed
+            if not cls._layout_fits(raw, "<iqii", 3):
+                raise ValueError("KLL1 blob matches neither known layout")
+            k, n, comps, depth = struct.unpack_from("<iqii", raw, 4)
+            off = 4 + struct.calcsize("<iqii")
+            sizes = struct.unpack_from(f"<{depth}i", raw, off)
+            off += 4 * depth
+            sk = cls(k)
+            sk.n, sk._compactions = n, comps
+            sk.levels = []
+            for s in sizes:
+                sk.levels.append(
+                    np.frombuffer(raw, dtype=np.float64, count=s,
+                                  offset=off).copy()
+                )
+                off += 8 * s
+            return sk
         k, n, comps, depth, seed = struct.unpack_from("<iqiiq", raw, 4)
         off = 4 + struct.calcsize("<iqiiq")
         sizes = struct.unpack_from(f"<{depth}i", raw, off)

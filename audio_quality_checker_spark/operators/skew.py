@@ -34,14 +34,18 @@ def salted_agg(df: DataFrame, key: str, aggs: dict[str, tuple],
                n_salts: int = 16, unique_col: str | None = None) -> DataFrame:
     """Two-level salted aggregation.
 
-    ``aggs`` maps output column -> (partial_fn, merge_fn), e.g.
-        {"n": (F.count, F.sum), "mx": (F.max, F.max),
-         "total": (F.sum, F.sum)}
-    where partial_fn is applied to the value column name given as
-    ``(fn, col)`` tuples: {"n": ((F.count, "url"), (F.sum,))}.
+    ``aggs`` maps output column name -> (partial_expr, merge_fn):
 
-    Simplified contract: partial_fn(col_expr) runs per (key, salt);
-    merge_fn(partial_col) runs per key.
+    - ``partial_expr`` is a BOUND Column aggregate expression evaluated
+      per (key, salt) — e.g. ``F.count(F.lit(1))``, ``F.sum("bytes")``,
+      ``F.max("n_chars")`` — not a bare function.
+    - ``merge_fn`` is a callable applied to the partial column NAME per
+      key: the algebraic merge — ``F.sum`` for count/sum partials,
+      ``F.max`` for max partials, ``F.min`` for min partials.
+
+    e.g. ``{"n_rows": (F.count(F.lit(1)), F.sum),
+            "max_chars": (F.max("n_chars"), F.max)}``
+    (exercised verbatim by tests/test_skew.py::test_salted_agg_doc_contract).
     """
     salted = with_salt(df, n_salts, unique_col=unique_col)
     partial_exprs = [

@@ -45,13 +45,22 @@ def main(argv=None) -> int:
         jaccard_pairs_guarded,
         simhash_near_dups,
     )
+    from pyspark.sql import functions as F
+
     from audio_quality_checker_spark.session import get_spark
 
     spark = get_spark(app_name="aqcs-dedup-report")
     docs = spark.read.parquet(args.docs)
     n_docs = docs.count()
 
-    exact = exact_dup_groups(docs, args.id_col, args.text_col)
+    # NULL-text documents (extraction failures) all md5 to NULL and would
+    # form one giant pseudo-duplicate group, corrupting the keep-one
+    # counts downstream (round-3 advice) — they are not duplicates of
+    # anything, so exclude them from the exact stage entirely.
+    exact = exact_dup_groups(
+        docs.where(F.col(args.text_col).isNotNull()),
+        args.id_col, args.text_col,
+    )
     exact.write.mode("overwrite").parquet(f"{args.out}/exact")
     n_exact_groups = spark.read.parquet(f"{args.out}/exact").count()
 
@@ -70,8 +79,6 @@ def main(argv=None) -> int:
     n_sim = spark.read.parquet(f"{args.out}/simhash").count()
 
     # duplicate clusters over exact + near-dup edges -> keep-one filter
-    from pyspark.sql import functions as F
-
     from audio_quality_checker_spark.operators.components import (
         connected_components,
     )

@@ -293,7 +293,12 @@ def _bounds_components(spark, sf, con, rows, cols):
         k: sorted(v) for k, v in expected.items()
     }
     idx = {c: i for i, c in enumerate(cols)}
-    got = {r[idx["component"]]: sorted(r[idx["members"]]) for r in rows}
+    # members is a comma-joined string (driver-canonicalizer-safe);
+    # parse back to ids for the set-equality check
+    got = {
+        r[idx["component"]]: sorted(int(x) for x in r[idx["members"]].split(","))
+        for r in rows
+    }
     if got != expected:
         return [
             f"clusters != union-find: {len(set(expected) - set(got))} "

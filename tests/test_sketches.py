@@ -63,18 +63,46 @@ def test_serialization_roundtrip():
         assert rt.quantile(q) == sk.quantile(q)
 
 
-def test_old_wire_format_rejected():
-    """A v1 blob (pre-seed header, magic KLL1) must fail loudly instead of
-    unpacking shifted fields into garbage."""
+def test_old_wire_formats_accepted_and_garbage_rejected():
+    """Both historical KLL1 layouts (seedless <iqii and seeded <iqiiq —
+    the seed landed before the magic bump) must parse via the
+    length-consistency disambiguation; an unknown magic or a blob that
+    tiles neither layout must fail loudly (round-3 advice)."""
     import struct
 
     import pytest
 
     from audio_quality_checker_spark.functions.sketches import KLLSketch
 
-    v1_blob = b"KLL1" + struct.pack("<iqii", 200, 10, 0, 0)
-    with pytest.raises(ValueError, match="KLL2"):
-        KLLSketch.from_bytes(v1_blob)
+    sk = KLLSketch(k=128)
+    sk.update_many(np.random.default_rng(3).normal(0, 1, 5_000))
+
+    # seeded KLL1 (layout == current KLL2): swap the magic only
+    seeded = b"KLL1" + sk.to_bytes()[4:]
+    rt = KLLSketch.from_bytes(seeded)
+    assert rt.n == sk.n and rt.seed == sk.seed
+    for q in QS:
+        assert rt.quantile(q) == sk.quantile(q)
+
+    # original seedless KLL1: <iqii header, same size table + payloads
+    head = b"KLL1" + struct.pack(
+        "<iqii", sk.k, sk.n, sk._compactions, len(sk.levels)
+    )
+    sizes = struct.pack(
+        f"<{len(sk.levels)}i", *[a.size for a in sk.levels]
+    )
+    body = b"".join(
+        np.ascontiguousarray(a).tobytes() for a in sk.levels
+    )
+    rt1 = KLLSketch.from_bytes(head + sizes + body)
+    assert rt1.n == sk.n and rt1.seed == 42
+    for q in QS:
+        assert rt1.quantile(q) == sk.quantile(q)
+
+    with pytest.raises(ValueError):
+        KLLSketch.from_bytes(b"KLLX" + sk.to_bytes()[4:])
+    with pytest.raises(ValueError, match="neither"):
+        KLLSketch.from_bytes(b"KLL1" + struct.pack("<iqii", 200, 10, 0, 0))
 
 
 def test_determinism():

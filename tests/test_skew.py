@@ -86,3 +86,37 @@ def test_salted_topk_equals_unsalted(spark):
     assert salted == plain
     hot = [t for t in plain if t[0] == "hot.example"]
     assert len(hot) == 7
+
+
+def test_salted_agg_doc_contract(spark):
+    """The documented call shape — bound Column partial exprs + callable
+    merge fns — verbatim from the salted_agg docstring, checked against
+    the plain unsalted aggregation."""
+    from audio_quality_checker_spark.operators.skew import salted_agg
+
+    pages = spark.createDataFrame(
+        gen_pages_pdf(300, categories=["SkewHost"])
+    )
+    f = derive_row_features(pages).withColumn(
+        "n_chars", F.length("text")
+    )
+    got = {
+        (r["host"]): (r["n_rows"], r["max_chars"])
+        for r in salted_agg(
+            f,
+            key="host",
+            aggs={
+                "n_rows": (F.count(F.lit(1)), F.sum),
+                "max_chars": (F.max("n_chars"), F.max),
+            },
+            unique_col="url",
+        ).collect()
+    }
+    want = {
+        r["host"]: (r["n_rows"], r["max_chars"])
+        for r in f.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_chars").alias("max_chars"),
+        ).collect()
+    }
+    assert got == want
