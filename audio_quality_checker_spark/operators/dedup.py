@@ -48,9 +48,19 @@ def _widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     try:
         n_files = len(df.inputFiles())
     except Exception:
-        n_files = 0  # non-file relation (tests, in-memory frames): widen
+        n_files = 0
     if n_files >= target:
         return df
+    if n_files == 0:
+        # non-file relation (cached/in-memory frames): probe the actual
+        # partition count before shuffling — an already-wide cached input
+        # must not pay an unconditional repartition (round-3 advice).
+        # One RDD plan conversion, only on this cold path.
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
     return df.repartition(target)
 
 
@@ -224,29 +234,58 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# below this duplicate-signature fraction the exact-signature collapse
+# costs more (extra groupBy + persist + expand joins) than it saves —
+# measured at sf0.1: unconditional collapse regressed minhash_near_dups
+# 2.42s -> 3.28s on the low-dup documents corpus, while dup-heavy
+# fixtures keep a ~2x win.  The probe is free: approx_count_distinct
+# rides the same agg action that eagerly materializes the persist.
+_COLLAPSE_MIN_DUP_FRAC = 0.05
+
+
+def _materialize_and_probe_dups(sigs: DataFrame, sig_expr) -> float:
+    """Eagerly materialize the persisted signature frame (the downstream
+    plan references it from four subplans — a cold cache races and
+    re-runs the signature kernel up to 4x, the round-1 pathology) and
+    return the estimated duplicate-signature fraction from the SAME
+    action (count + approx_count_distinct in one agg: no extra job)."""
+    # rsd=0.02: the default 5% relative error is the same size as the
+    # gate threshold itself; 2% keeps the decision stable (HLL register
+    # cost is still KBs)
+    row = sigs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(sig_expr, 0.02).alias("d"),
+    ).first()
+    n, d = row["n"], row["d"]
+    if not n:
+        return 0.0
+    return max(0.0, 1.0 - d / n)
+
+
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 128,
                       bands: int = 32, threshold: float = 0.7,
                       shingle_mode: str = "word",
-                      collapse_exact: bool = True) -> DataFrame:
+                      collapse_exact: bool | None = None) -> DataFrame:
     """(id_a, id_b, est_jaccard): LSH candidates verified by signature
     agreement (estimated Jaccard = fraction of equal MinHash components).
     Use shingle_mode="char" for unsegmented scripts (zh/ja/th).
 
-    ``collapse_exact`` (default on) groups IDENTICAL signatures before
-    banding — same rationale and same identical-output guarantee as the
-    SimHash collapse (see simhash_near_dups): exact-dup-heavy web
-    corpora otherwise pay m copies of every bucket row, an m^2
-    within-value join, and per-band re-finds of every est=1.0 pair.
+    ``collapse_exact`` groups IDENTICAL signatures before banding — same
+    rationale and same identical-output guarantee as the SimHash collapse
+    (see simhash_near_dups): exact-dup-heavy web corpora otherwise pay m
+    copies of every bucket row, an m^2 within-value join, and per-band
+    re-finds of every est=1.0 pair.  Default None = AUTO: collapse only
+    when the probed duplicate-signature fraction clears
+    ``_COLLAPSE_MIN_DUP_FRAC`` (low-dup corpora then skip the collapse
+    overhead — identical outputs either way, asserted in tests).
     """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes,
                               shingle_mode=shingle_mode)
-    # EAGER materialization: the one downstream action references sigs
-    # from four subplans (banded a/b + verify a/b); a cold cache makes
-    # those stages race and re-run the signature kernel up to 4x
-    # (the round-1 measured cache-race pathology)
     sigs.persist()
-    sigs.count()
+    dup_frac = _materialize_and_probe_dups(sigs, F.xxhash64("sig"))
+    if collapse_exact is None:
+        collapse_exact = dup_frac >= _COLLAPSE_MIN_DUP_FRAC
 
     def pairs_over(frame: DataFrame, fid: str) -> DataFrame:
         cands = lsh_candidate_pairs(frame, fid, bands, n_hashes=n_hashes)
@@ -357,7 +396,7 @@ def _band_ranges(n_bands: int) -> list[tuple[int, int]]:
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      collapse_exact: bool = True) -> DataFrame:
+                      collapse_exact: bool | None = None) -> DataFrame:
     """(id_a, id_b, hamming): all pairs within `max_hamming` bits —
     complete recall for the advertised radius at any setting.
 
@@ -373,7 +412,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     Both routes keep the hamming predicate inside the join condition so
     non-matching collisions die before the distinct() shuffle.
 
-    ``collapse_exact`` (default on) deduplicates IDENTICAL signatures
+    ``collapse_exact`` deduplicates IDENTICAL signatures
     before the banding join: web corpora are exact-dup-heavy, and a
     value shared by m documents would otherwise occupy every one of its
     buckets m times (the join inside a hot value alone is m^2, and every
@@ -381,11 +420,15 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     Collapsed, the pair search runs over DISTINCT signature values once;
     hamming-0 pairs come straight off the groups and value-pairs expand
     to document pairs afterward.  The emitted pair set is IDENTICAL
-    (asserted in tests).
+    (asserted in tests).  Default None = AUTO via the same
+    dup-density probe as minhash_near_dups (the probe rides the eager
+    materialization action — no extra job).
     """
     sigs = simhash_signatures(df, id_col, text_col)
     sigs.persist()
-    sigs.count()  # eager: the bucket self-join references sigs twice
+    dup_frac = _materialize_and_probe_dups(sigs, F.col("simhash"))
+    if collapse_exact is None:
+        collapse_exact = dup_frac >= _COLLAPSE_MIN_DUP_FRAC
     route = (
         simhash_pairs_from_sigs if max_hamming <= 4
         else simhash_pairs_multitable

@@ -425,3 +425,52 @@ def test_minhash_exact_collapse_identical(spark, corpus):
     }
     assert collapsed == plain
     assert collapsed[(3, 300)] == 1.0
+
+
+def test_collapse_auto_gate(spark, corpus):
+    """collapse_exact=None (the default) must route by the probed
+    duplicate-signature fraction — and produce the same pair set as
+    either forced path (the collapse is output-invariant, so AUTO only
+    changes cost).  Also pin the gate itself on synthetic frames: a
+    dup-heavy corpus probes above the threshold, an all-unique one
+    below."""
+    import pandas as pd
+
+    from audio_quality_checker_spark.operators.dedup import (
+        _COLLAPSE_MIN_DUP_FRAC,
+        _materialize_and_probe_dups,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    df, _ = corpus
+    auto = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(df, threshold=0.5).collect()
+    }
+    forced = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(df, threshold=0.5,
+                                   collapse_exact=True).collect()
+    }
+    assert auto == forced
+
+    uniq = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(200),
+        "text": [f"totally distinct document number {i} "
+                 f"with words {i * 7} {i * 13}" for i in range(200)],
+    }))
+    sigs = minhash_signatures(uniq).persist()
+    assert _materialize_and_probe_dups(
+        sigs, F.xxhash64("sig")) < _COLLAPSE_MIN_DUP_FRAC
+    sigs.unpersist()
+
+    heavy = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["the same exact duplicated web page body"] * 30
+        + [f"unique page {i} content {i * 3}" for i in range(10)],
+    }))
+    sigs2 = minhash_signatures(heavy).persist()
+    assert _materialize_and_probe_dups(
+        sigs2, F.xxhash64("sig")) >= _COLLAPSE_MIN_DUP_FRAC
+    sigs2.unpersist()
