@@ -70,3 +70,84 @@ def test_keep_one_drops_non_representatives(spark):
     )
     # one per cluster (min id) + the isolated doc 50
     assert kept == [1, 10, 50]
+
+
+def test_star_equals_minlabel_and_union_find(spark):
+    """A/B: the large-star/small-star labels must equal both the
+    min-label baseline and the Python union-find on a random graph."""
+    import numpy as np
+
+    from audio_quality_checker_spark.operators.components import (
+        connected_components_minlabel,
+    )
+
+    rng = np.random.default_rng(7)
+    edges = list({
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 800, size=(1200, 2))
+        if a != b
+    })
+    df = _pairs(spark, edges)
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    minlabel = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_minlabel(df, max_iter=50).collect()
+    }
+    assert star == minlabel == _union_find(edges)
+
+
+def test_hot_vertex_skew_dissolves(spark):
+    """The north-rule skew case: one hub document appears in 40% of all
+    pairs.  Min-label propagation re-joins the hub's full edge list on
+    one key every round; the star alternation must (a) recover the exact
+    components and (b) dissolve the hot group key — by the final round
+    the max group-key degree must be < 2x the median (the hub stops
+    funneling one reducer)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    hub = 99_999
+    n_hub_edges = 2_000
+    hub_edges = [
+        (int(x), hub) for x in rng.choice(50_000, n_hub_edges, replace=False)
+    ]
+    sparse = list({
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(50_000, 90_000, size=(3_000, 2))
+        if a != b
+    })
+    edges = hub_edges + sparse
+    assert len(hub_edges) / len(edges) > 0.35  # genuinely hot
+
+    rounds: list[dict] = []
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            _pairs(spark, edges), on_round=lambda i, s: rounds.append(s)
+        ).collect()
+    }
+    assert got == _union_find(edges)
+    final = rounds[-1]
+    assert final["max_degree"] <= 2 * max(1, final["median_degree"]), rounds
+    # and the hub really was hot in the INPUT (stats above are per-round
+    # outputs — the first alternation may already dissolve it)
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    degs = sorted(deg.values())
+    assert degs[-1] > 100 * degs[len(degs) // 2]
+
+
+def test_nonconvergence_raises(spark):
+    """Round-3 advice: split components must never be returned silently."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(0, 40)]
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(_pairs(spark, edges), max_iter=1)
