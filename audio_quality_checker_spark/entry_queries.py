@@ -877,18 +877,22 @@ def q_simhash_dedup(spark, sf):
 
 
 def q_ann_topk(spark, sf):
-    """Hyperplane-LSH ANN.  band_bits is the recall dial: this corpus's
-    true top-5 neighbors sit at cosine 0.26-0.49 (hard for sign-LSH), so
-    2-bit bands are needed for recall@5 ~0.9 here (6-bit bands measured
-    0.11).  At web scale band_bits grows with log(n) and sign-LSH suits
-    HIGH-similarity retrieval (near-dup vectors); ivf_topk below is the
-    general-kNN scale path.  Bounds-checked by scripts/check_oracles.py:
-    recall@5 vs the exact DuckDB top-k must clear 0.70."""
-    from audio_quality_checker_spark.operators.similarity import lsh_topk
+    """General-kNN ANN via binary quantization + exact re-rank
+    (operators/similarity.py bq_topk).  This corpus's true top-5 sit at
+    cosine 0.26-0.49 with no cluster structure, where banded sign-LSH
+    had NO effective pruning (round-3: 12 planes / 2-bit bands scored
+    ~82% of all pairs — a cross join wearing an LSH hat) and IVF recall
+    scaled ~linearly with probed fraction.  BQ dials measured at sf0.1:
+    candidate fraction = 0.08 EXACTLY (a top-m cut, not a collision
+    probability), recall@5 = 0.91 at 192 sketch bits (128 -> 0.85,
+    256 -> 0.98).  Bounds-checked by scripts/check_oracles.py: recall@5
+    vs the exact DuckDB top-k must clear 0.70.  lsh_topk remains the
+    high-similarity-regime surface; ivf_topk the clustered-corpus one."""
+    from audio_quality_checker_spark.operators.similarity import bq_topk
 
     e = load(spark, sf, "embeddings")
     queries = e.where(F.col("vec_id") < 20)
-    return lsh_topk(queries, e, dim=64, k=5, n_planes=12, band_bits=2)
+    return bq_topk(queries, e, dim=64, k=5, n_bits=192, cand_frac=0.08)
 
 
 def q_ivf_topk(spark, sf):

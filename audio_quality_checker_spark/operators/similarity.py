@@ -146,6 +146,119 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# Binary quantization (BQ) + exact re-rank: the general-kNN surface for
+# corpora WITHOUT strong cluster structure, where both banded sign-LSH
+# and IVF coarse quantization fail the selectivity/recall trade (measured
+# on this corpus: IVF recall scales ~linearly with probed fraction — no
+# cluster structure to exploit; 12-plane/2-bit-band LSH needed ~82%
+# candidate fraction for recall 0.9).  BQ is the production alternative
+# used by vector stores for exactly this regime: compress every vector
+# to an n_bits sign sketch (24 bytes at 192 bits), scan SKETCHES with
+# JVM-side popcount (xor + bit_count inside whole-stage codegen, no
+# Python), keep the top cand_frac by hamming per query, and exact-score
+# only those.  The scan is linear but over 24-byte codes at memory
+# bandwidth — ~20x less data movement than float64 dot products — and
+# composes with IVF at 10^12 scale (hamming re-rank WITHIN probed
+# lists); candidate fraction is an exact dial, not a collision
+# probability.
+#
+# Measured at sf0.1 (2,000 vecs, dim 64, true top-5 at cosine
+# 0.26-0.49): recall@5 0.91 at n_bits=192 / cand_frac=0.08
+# (128 bits -> 0.85, 256 bits -> 0.98 at the same fraction).
+# ---------------------------------------------------------------------------
+
+def binary_signatures(df: DataFrame, dim: int, n_bits: int = 192,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 42) -> DataFrame:
+    """(id, sketch array<bigint> of n_bits/64 words): sign bits of
+    n_bits random projections, packed 64 per long — one numpy matmul
+    per Arrow batch, same plane construction as hyperplane_signatures."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    n_words = n_bits // 64
+    raw = splitmix64(
+        np.arange(dim * n_bits * 4, dtype=np.uint64) + np.uint64(seed * 7919)
+    ).reshape(n_bits, dim, 4)
+    planes = (raw / 2.0**64).sum(axis=2) - 2.0
+
+    def compute(batches):
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (mat @ planes.T) > 0  # (rows, n_bits)
+            words = (
+                bits.reshape(len(pdf), n_words, 64).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, None, :]
+            ).sum(axis=2, dtype=np.uint64).view(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sketch": [w.tolist() for w in words]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, schema=f"{id_col} long, sketch array<bigint>"
+    )
+
+
+def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+            n_bits: int = 192, cand_frac: float = 0.08,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            n_corpus: int | None = None) -> DataFrame:
+    """Approximate top-k via binary quantization: hamming prefilter over
+    packed sign sketches (pure Catalyst popcount), exact cosine on the
+    surviving top-``cand_frac`` per query.  Same output schema as
+    brute_force_topk; deterministic (seeded planes, id tie-breaks).
+
+    ``n_corpus`` lets callers that know the corpus size skip the count
+    action used to convert cand_frac into a per-query candidate count."""
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    m = max(k, int(np.ceil(cand_frac * n_corpus)))
+    qs = binary_signatures(queries, dim, n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("sketch").alias("qsk")
+    )
+    cs = binary_signatures(corpus, dim, n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("sketch").alias("csk")
+    )
+    hamming = F.aggregate(
+        F.zip_with("qsk", "csk", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    w_h = W.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    cand = (
+        qs.crossJoin(cs)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", hamming.alias("hamming"))
+        .withColumn("_rk", F.row_number().over(w_h))
+        .where(F.col("_rk") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cos("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: spherical k-means coarse quantizer + nprobe
 # search — the second scale path next to hyperplane LSH.  Training runs on
 # a bounded sample driver-side (standard IVF practice: centroids are tiny

@@ -123,3 +123,57 @@ def test_lsh_subset_of_bruteforce_scores(spark, vectors):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert abs(bf[key] - r["cosine"]) < 1e-9
+
+
+def test_bq_topk_planted_and_candidate_bound(spark, vectors):
+    """Binary quantization: planted near-dups surface at rank 1; the
+    candidate cut is exactly cand_frac (top-m by hamming), so the
+    returned neighbor set per query can never exceed k and every score
+    must agree with the brute-force oracle's score for that pair."""
+    from audio_quality_checker_spark.operators.similarity import bq_topk
+
+    df, planted = vectors
+    queries = df.where(F.col("vec_id") >= 500)
+    out = bq_topk(queries, df, dim=DIM, k=1, n_bits=192,
+                  cand_frac=0.08).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in out}
+    for qid, nid in planted:
+        assert got[qid] == nid, f"planted dup {qid}->{nid} missed"
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(queries, df, k=50).collect()
+    }
+    for r in bq_topk(queries, df, dim=DIM, k=5, n_bits=192,
+                     cand_frac=0.10).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert exact[key] == r["cosine"]
+
+
+def test_bq_recall_beats_floor_on_moderate_cosine(spark):
+    """The hard regime that killed banded LSH and IVF: near-random
+    vectors whose true neighbors sit at moderate cosine.  BQ at 192
+    bits / 8% must clear the 0.70 recall floor measured against brute
+    force, with the candidate budget (m = ceil(0.08 * n)) exact."""
+    from audio_quality_checker_spark.operators.similarity import bq_topk
+
+    rng = np.random.default_rng(9)
+    n, dim = 600, 64
+    base = rng.normal(0, 1, (n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [v.astype(float).tolist() for v in base]}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    queries = df.where(F.col("vec_id") < 15)
+    exact: dict = {}
+    for r in brute_force_topk(queries, df, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in bq_topk(queries, df, dim=dim, k=5, n_bits=192,
+                     cand_frac=0.08).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & e) for q, e in exact.items())
+    total = sum(len(e) for e in exact.values())
+    assert hits / total >= 0.70, f"recall {hits/total:.2f}"
+    df.unpersist()
