@@ -650,17 +650,28 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
                           block_cap: int = 5_000) -> DataFrame:
     """(id_a, id_b, jaccard): token-set Jaccard pairs >= threshold.
 
-    Blocks on (lang, length-bucket).  Blocks up to ``block_cap`` rows run
-    the exact all-pairs compare (n^2 bounded by cap^2 per block); larger
-    blocks route through MinHash-LSH banding to generate candidates and
-    verify those candidates with the SAME exact Jaccard — precision stays
-    exact everywhere, recall in hot blocks becomes the LSH collision
-    probability (~0.97 at j=0.7 with 128 hashes / 32 bands) instead of
-    quadratic cost.  Worst case is O(sum min(block, cap)^2 + n*bands).
+    Blocks on (lang, length-bucket) with ADJACENT-BUCKET PROBING: every
+    doc is emitted into its own bucket floor(len/100) AND the next one,
+    so near-identical docs straddling a bucket boundary (len 199 vs 201)
+    still share a block — the round-3 recall hole at bucket edges is
+    closed.  The pair universe is exactly {same lang, |bucket delta| <=
+    1}; the explode factor is a flat 2x.
+
+    Per (lang, bucket), blocks up to ``block_cap`` rows run the exact
+    all-pairs compare (n^2 bounded by cap^2 per block); larger blocks
+    route through MinHash-LSH banding to generate candidates and verify
+    them with the SAME exact Jaccard — precision stays exact everywhere,
+    recall in hot blocks becomes the LSH collision probability (~0.97 at
+    j=0.7 with 128 hashes / 32 bands) instead of quadratic cost.  Worst
+    case is O(sum min(block, cap)^2 + n*bands).
 
     Both routes search the SAME pair universe: the LSH candidate join
-    carries (lang, len_blk) as exact-match block keys, so route 2 can
-    never emit a cross-block pair route 1 would not have considered.
+    carries (lang, blk) as exact-match block keys, so route 2 can never
+    emit a cross-block pair route 1 would not have considered.  A pair
+    sharing two buckets (or found by both routes when its two shared
+    buckets straddle the cap) is deduplicated by a final per-pair
+    aggregation — the jaccard value is identical wherever it is
+    computed, so the dedup is a pure set operation.
 
     The returned frame is persisted and materialized (the intermediates
     it was built from are unpersisted before returning); callers that are
@@ -677,25 +688,32 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
         toks.alias("toks"),
         F.col(text_col).alias("__text"),
     )
+    # adjacent-bucket probe: own bucket + the next one
+    probed = base.select(
+        "doc_id", "lang", "toks", "__text",
+        F.explode(
+            F.array(F.col("len_blk"), F.col("len_blk") + 1)
+        ).alias("blk"),
+    )
     from pyspark.sql import Window as W
 
-    base = base.withColumn(
-        "blk_n", F.count(F.lit(1)).over(W.partitionBy("lang", "len_blk"))
+    probed = probed.withColumn(
+        "blk_n", F.count(F.lit(1)).over(W.partitionBy("lang", "blk"))
     )
-    base.persist()
-    base.count()  # eager: referenced from both routes below
+    probed.persist()
+    probed.count()  # eager: referenced from both routes below
 
     inter = F.size(F.array_intersect("a.toks", "b.toks"))
     union = F.size("a.toks") + F.size("b.toks") - inter
     jac = (inter / union).alias("jaccard")
 
     # route 1: exact all-pairs inside bounded blocks
-    small = base.where(F.col("blk_n") <= block_cap)
+    small = probed.where(F.col("blk_n") <= block_cap)
     a, b = small.alias("a"), small.alias("b")
     exact_pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_blk") == F.col("b.len_blk"))
+        & (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("id_a"),
@@ -704,20 +722,24 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     ).where(F.col("jaccard") >= threshold)
 
     # route 2: LSH candidates for the oversized blocks, verified exactly.
-    # The block key (lang, len_blk) rides on the signature frame and is an
-    # exact-equality term of the candidate join — LSH only replaces the
-    # WITHIN-block all-pairs stage, never widens the pair universe.
-    big = base.where(F.col("blk_n") > block_cap)
+    # Signatures are built ONCE per distinct doc (a doc may have both its
+    # probe rows oversized); the block key (lang, blk) rides on the
+    # signature frame and is an exact-equality term of the candidate
+    # join — LSH only replaces the WITHIN-block all-pairs stage, never
+    # widens the pair universe.
+    big = probed.where(F.col("blk_n") > block_cap)
     sigs = minhash_signatures(
-        big.select("doc_id", F.col("__text").alias("t")), "doc_id", "t"
-    ).join(big.select("doc_id", "lang", "len_blk"), "doc_id")
+        big.select("doc_id", F.col("__text").alias("t"))
+        .dropDuplicates(["doc_id"]),
+        "doc_id", "t",
+    ).join(big.select("doc_id", "lang", "blk"), "doc_id")
     sigs.persist()
     cands = lsh_candidate_pairs(
         sigs, "doc_id", bands=32, n_hashes=128,
-        block_cols=("lang", "len_blk"),
+        block_cols=("lang", "blk"),
     )
-    ta = big.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-    tb = big.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
     inter2 = F.size(F.array_intersect("ta", "tb"))
     union2 = F.size("ta") + F.size("tb") - inter2
     lsh_pairs = (
@@ -725,10 +747,16 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", (inter2 / union2).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    out = exact_pairs.unionByName(lsh_pairs)
+    # per-pair dedup: the same pair can arrive from two shared buckets
+    # and/or both routes; jaccard is identical everywhere, so min==max
+    out = (
+        exact_pairs.unionByName(lsh_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("jaccard").alias("jaccard"))
+    )
     out.persist()
     out.count()  # materialize, then release the build-side caches
-    base.unpersist()
+    probed.unpersist()
     sigs.unpersist()
     return out
 

@@ -209,10 +209,11 @@ def _bounds_minhash(spark, sf, con, rows, cols):
 
 def _bounds_near_dup(spark, sf, con, rows, cols):
     """(a) every emitted pair's jaccard must EQUAL the true token-set
-    jaccard and clear the threshold (precision is exact on both routes);
-    (b) pairs whose (lang, len-block) is within block_cap must match the
-    exhaustive DuckDB pairwise result exactly (the exact route is
-    complete by construction)."""
+    jaccard, clear the threshold, and sit inside the pair universe
+    (same lang, length-bucket delta <= 1 under adjacent-bucket probing);
+    (b) pairs that share a bucket whose probed population is within
+    block_cap must match the exhaustive Python pairwise result exactly
+    (the exact route is complete by construction)."""
     idx = {c: i for i, c in enumerate(cols)}
     got = {(r[idx["id_a"]], r[idx["id_b"]]): r[idx["jaccard"]] for r in rows}
     tok_rows = con.execute("""
@@ -225,34 +226,43 @@ def _bounds_near_dup(spark, sf, con, rows, cols):
     toks = {r[0]: (r[1], r[2], frozenset(r[3])) for r in tok_rows}
     problems = []
     for (a, b), j in got.items():
-        sa, sb = toks[a][2], toks[b][2]
+        (la, ba, sa), (lb, bb, sb) = toks[a], toks[b]
         union = len(sa | sb)
         true_j = round(len(sa & sb) / union, 6) if union else None
         if true_j is None or abs(j - true_j) > 1e-6 or j < 0.5:
             problems.append(f"({a},{b}): jaccard {j} != true {true_j}")
+        if la != lb or abs(ba - bb) > 1:
+            problems.append(f"({a},{b}): outside the pair universe")
     from collections import Counter
 
-    blk_n = Counter((lang, blk) for lang, blk, _ in toks.values())
+    # probed population of bucket b = docs in b plus docs probing up
+    # from b-1 (adjacent-bucket probing: each doc lands in blk, blk+1)
+    floor_n = Counter((lang, blk) for lang, blk, _ in toks.values())
+    blk_n = Counter()
+    for (lang, blk), c in floor_n.items():
+        blk_n[(lang, blk)] += c
+        blk_n[(lang, blk + 1)] += c
+
+    def shared_small_bucket(a, b) -> bool:
+        (la, ba, _), (lb, bb, _) = toks[a], toks[b]
+        if la != lb:
+            return False
+        shared = {ba, ba + 1} & {bb, bb + 1}
+        return any(blk_n[(la, s)] <= 40 for s in shared)
+
     small_expected = set()
     items = sorted(toks.items())
-    by_block: dict = {}
-    for did, (lang, blk, s) in items:
-        by_block.setdefault((lang, blk), []).append((did, s))
-    for key, members in by_block.items():
-        if blk_n[key] > 40:
-            continue
-        for i in range(len(members)):
-            for j2 in range(i + 1, len(members)):
-                (da, sa), (db, sb) = members[i], members[j2]
-                union = len(sa | sb)
-                if union and len(sa & sb) / union >= 0.5 - 1e-12:
-                    if round(len(sa & sb) / union, 6) >= 0.5:
-                        small_expected.add((da, db))
-    small_got = {
-        p for p in got
-        if blk_n[(toks[p[0]][0], toks[p[0]][1])] <= 40
-        and toks[p[0]][:2] == toks[p[1]][:2]
-    }
+    for i in range(len(items)):
+        for j2 in range(i + 1, len(items)):
+            (da, (la, ba, sa)), (db, (lb, bb, sb)) = items[i], items[j2]
+            if la != lb or abs(ba - bb) > 1:
+                continue
+            if not shared_small_bucket(da, db):
+                continue
+            union = len(sa | sb)
+            if union and round(len(sa & sb) / union, 6) >= 0.5:
+                small_expected.add((da, db))
+    small_got = {p for p in got if shared_small_bucket(p[0], p[1])}
     if small_got != small_expected:
         problems.append(
             f"exact-route pairs mismatch: missing "

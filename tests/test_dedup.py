@@ -474,3 +474,39 @@ def test_collapse_auto_gate(spark, corpus):
     assert _materialize_and_probe_dups(
         sigs2, F.xxhash64("sig")) >= _COLLAPSE_MIN_DUP_FRAC
     sigs2.unpersist()
+
+
+def test_bucket_edge_pair_surfaces(spark):
+    """The round-3 recall hole: two near-identical docs straddling a
+    length-bucket boundary (len 199 vs 201) can never share a
+    floor(len/100) block — adjacent-bucket probing must surface the
+    pair in BOTH routes (exact and LSH) with its exact jaccard."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+
+    # 40 four-char tokens -> 199 chars; swap one token and pad -> 201
+    toks_a = [f"w{i:03d}" for i in range(40)]
+    toks_b = list(toks_a)
+    toks_b[-1] = "zzzzzz"  # 6 chars: 199 - 4 + 6 = 201
+    text_a, text_b = " ".join(toks_a), " ".join(toks_b)
+    assert (len(text_a), len(text_b)) == (199, 201)
+    assert len(text_a) // 100 != len(text_b) // 100
+    jac = 39 / 41  # |intersect|/|union| of the token SETS
+
+    filler = [
+        (100 + i, "en", " ".join(f"f{i:03d}{j:03d}" for j in range(40)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "en", text_a), (2, "en", text_b)] + filler,
+        columns=["doc_id", "lang", "text"],
+    ))
+    for cap in (10_000, 1):  # exact route / LSH route
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs_guarded(df, threshold=0.5,
+                                           block_cap=cap).collect()
+        }
+        assert (1, 2) in got, f"cap={cap}: edge pair missed"
+        assert abs(got[(1, 2)] - jac) < 1e-6
