@@ -861,6 +861,12 @@ def q_dedup_components(spark, sf):
     )
 
 
+# single source of truth for the simhash query's radius — the bounds
+# brute-force in scripts/check_oracles.py derives its radius from here
+# instead of hardcoding it (round-3 advice)
+SIMHASH_RADIUS = 6
+
+
 def q_simhash_dedup(spark, sf):
     """Radius 6 exercises the Manku multi-table route (radii > 4 switch
     automatically) at a near-dup-meaningful setting.  Radius 12 (~81% bit
@@ -873,7 +879,7 @@ def q_simhash_dedup(spark, sf):
     from audio_quality_checker_spark.operators.dedup import simhash_near_dups
 
     d = load(spark, sf, "documents")
-    return simhash_near_dups(d, max_hamming=6)
+    return simhash_near_dups(d, max_hamming=SIMHASH_RADIUS)
 
 
 def q_ann_topk(spark, sf):

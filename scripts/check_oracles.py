@@ -149,25 +149,43 @@ def _bounds_ann(floor: float):
 def _bounds_simhash(spark, sf, con, rows, cols):
     """The construction guarantees EXACTNESS (complete recall inside the
     radius, hamming predicate kills everything outside): brute-force the
-    signatures in numpy and require set equality."""
+    signatures in numpy and require set equality.  The radius comes from
+    the registry (entry_queries.SIMHASH_RADIUS — not hardcoded here);
+    hamming is computed BLOCKWISE with a 16-bit popcount table (the
+    round-3 n x n int64 matrices were ~60 GB at 50k docs), and corpora
+    too large even for blockwise O(n^2) refuse loudly instead of OOMing."""
     import numpy as np
 
+    from audio_quality_checker_spark.entry_queries import SIMHASH_RADIUS
     from audio_quality_checker_spark.operators.dedup import simhash_signatures
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
     sig_rows = simhash_signatures(d).collect()
+    n = len(sig_rows)
+    if n > 200_000:
+        return [
+            f"bounds brute force refused: {n} docs is {n*(n-1)//2:.2e} "
+            "pairs — run bounds mode at a smaller sf"
+        ]
     ids = np.array([r["doc_id"] for r in sig_rows], dtype=np.int64)
     sigs = np.array([r["simhash"] for r in sig_rows], dtype=np.int64)
     order = np.argsort(ids)
     ids, sigs = ids[order], sigs[order].view(np.uint64)
-    xor = sigs[:, None] ^ sigs[None, :]
-    ham = np.zeros(xor.shape, dtype=np.int64)
-    v = xor.copy()
-    for _ in range(64):
-        ham += (v & np.uint64(1)).astype(np.int64)
-        v >>= np.uint64(1)
-    ia, ib = np.where(np.triu(ham <= 6, k=1))
-    expected = {(int(ids[a]), int(ids[b]), int(ham[a, b])) for a, b in zip(ia, ib)}
+    pop16 = np.array(
+        [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+    )
+    expected = set()
+    chunk = max(1, 2**24 // max(n, 1))  # ~128 MB of uint64 xor per block
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        xor = sigs[lo:hi, None] ^ sigs[None, :]
+        ham = np.zeros(xor.shape, dtype=np.uint8)
+        for s in (0, 16, 32, 48):
+            ham += pop16[((xor >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+        ia, ib = np.where(ham <= SIMHASH_RADIUS)
+        for a, b in zip(ia + lo, ib):
+            if ids[a] < ids[b]:
+                expected.add((int(ids[a]), int(ids[b]), int(ham[a - lo, b])))
     idx = {c: i for i, c in enumerate(cols)}
     got = {(r[idx["id_a"]], r[idx["id_b"]], r[idx["hamming"]]) for r in rows}
     problems = []
