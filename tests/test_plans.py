@@ -1,0 +1,161 @@
+"""Plan-shape regression tests: the load-bearing physical-plan
+invariants that PLANS.md documents, asserted in CI so a Catalyst-plan
+regression fails a test instead of silently aging the doc (round-3
+verdict #8).  Shapes, not sizes: each test greps `explain("formatted")`
+output for the structural property the operator's scale story depends
+on."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    """Distinct Exchange NODES (formatted explain prints each node twice:
+    once in the tree as `Exchange (4)`, once as the `(4) Exchange`
+    detail header)."""
+    return len(set(re.findall(r"Exchange \((\d+)\)", plan)))
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from audio_quality_checker_spark.sources.pages import gen_pages_pdf
+
+    root = str(tmp_path_factory.mktemp("plans") / "pages")
+    spark.createDataFrame(gen_pages_pdf(40)).write.mode(
+        "overwrite"
+    ).partitionBy("p_day").parquet(root)
+    return root
+
+
+def test_partition_pruning_reaches_the_scan(spark, pages_parquet):
+    """A p_day predicate must appear as PartitionFilters (file-granular
+    skip — the resume path's prune), not merely a post-scan Filter."""
+    pages = spark.read.parquet(pages_parquet)
+    plan = fmt(pages.where(F.col("p_day") == "2025-11-01").select("url"))
+    lower = plan.lower()
+    assert "partitionfilters" in lower
+    # the partition filter block actually carries the p_day predicate
+    seg = lower.split("partitionfilters", 1)[1][:200]
+    assert "p_day" in seg, plan
+
+
+def test_payload_scan_is_column_pruned(spark, pages_parquet):
+    """The extraction-identity path reads only (p_day, html, text):
+    ReadSchema must not include url/lang/warc_ts — payloads never ride
+    a wider scan."""
+    pages = spark.read.parquet(pages_parquet)
+    plan = fmt(pages.select("p_day", "html", "text"))
+    seg = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "html" in seg and "text" in seg
+    for col in ("url", "lang", "warc_ts"):
+        assert col not in seg, f"{col} leaked into the payload scan: {seg}"
+
+
+def test_partition_stats_single_exchange(spark, pages_parquet):
+    """Every scalar stat of the one-pass agg rides ONE shuffle: exactly
+    one Exchange (partial+final HashAggregate around it)."""
+    from audio_quality_checker_spark.operators.stats import (
+        derive_row_features,
+        light_features,
+        partition_stats,
+    )
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = fmt(partition_stats(light_features(derive_row_features(pages))))
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_grouping_sets_histograms_single_agg_exchange(spark, pages_parquet):
+    """Both drift histograms come from ONE Expand + ONE aggregation
+    Exchange — not two separate groupBy scans.  (A second Exchange
+    legitimately feeds the normalization Window's sort; anything beyond
+    those two is a regression.)"""
+    from audio_quality_checker_spark.operators.stats import (
+        derive_row_features,
+        distribution_counts_all,
+        light_features,
+    )
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = fmt(
+        distribution_counts_all(light_features(derive_row_features(pages)))
+    )
+    assert len(set(re.findall(r"Expand \((\d+)\)", plan))) == 1, plan
+    assert n_exchanges(plan) <= 2, plan
+
+
+def test_chunk_explode_zero_exchange(spark):
+    """Chunked per-row expansion is a streaming Generate — NO shuffle
+    anywhere in the plan."""
+    from audio_quality_checker_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a " * 500, "b " * 900]})
+    )
+    plan = fmt(chunk_documents(df))
+    assert "Generate" in plan
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_price_band_join_broadcasts_the_tiny_dimension(spark):
+    """The band dimension is literal-sized: the join must be a broadcast
+    (no shuffle of the big side on a join key)."""
+    from audio_quality_checker_spark.entry_queries import q_price_band_join
+
+    plan = fmt(q_price_band_join(spark, "/root/testdata/sf0.001"))
+    assert "Broadcast" in plan, plan
+
+
+def test_lsh_candidate_join_is_bucket_keyed(spark):
+    """The LSH candidate join must be an equi-join keyed on the band
+    bucket — never a nested-loop/cartesian over all pairs (at 10^12 docs
+    the quadratic stage must not exist in the plan)."""
+    from audio_quality_checker_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(8), "text": [f"w{i} x{i} y{i} z{i}" for i in range(8)]}
+        )
+    )
+    plan = fmt(lsh_candidate_pairs(minhash_signatures(df), n_hashes=128))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_idx" in plan and "band_hash" in plan
+
+
+def test_guarded_routes_filter_above_block_count(spark):
+    """Both guarded routes must carry their blk_n filter (<= cap exact
+    route, > cap LSH route) INSIDE the plan — the structural guarantee
+    that no unguarded block self-join shape exists at any input."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "lang": ["en"] * 6,
+                "text": [f"tok{i}a tok{i}b tok{i}c" for i in range(6)],
+            }
+        )
+    )
+    out = jaccard_pairs_guarded(df, threshold=0.5, block_cap=3)
+    plan = fmt(out)
+    assert "blk_n" in plan, plan
+    out.unpersist()
