@@ -867,6 +867,27 @@ def q_dedup_components(spark, sf):
 SIMHASH_RADIUS = 6
 
 
+def q_dedup_incremental(spark, sf):
+    """Cross-crawl incremental dedup (operators/crawl_state.py): even
+    doc_ids play the stored prior-crawl signature state, odd doc_ids the
+    incoming crawl.  dedup_against bands NEW x (STATE + NEW) only —
+    state x state pairs are structurally excluded from the join — so an
+    ingest is linear in the new crawl.  Bounds gate: the emitted pair
+    set must EQUAL the batch minhash_near_dups output restricted to
+    pairs touching the new crawl (same signatures, same banding)."""
+    from audio_quality_checker_spark.operators.crawl_state import (
+        dedup_against,
+    )
+    from audio_quality_checker_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    d = load(spark, sf, "documents")
+    state = minhash_signatures(d.where(F.col("doc_id") % 2 == 0))
+    new = minhash_signatures(d.where(F.col("doc_id") % 2 == 1))
+    return dedup_against(state, new, threshold=0.5)
+
+
 def q_simhash_dedup(spark, sf):
     """Radius 6 exercises the Manku multi-table route (radii > 4 switch
     automatically) at a near-dup-meaningful setting.  Radius 12 (~81% bit
@@ -1502,6 +1523,7 @@ REGISTRY: dict[str, tuple] = {
     "near_dup_pairs": (q_near_dup_pairs, None),
     "minhash_dedup": (q_minhash_dedup, None),
     "dedup_components": (q_dedup_components, None),
+    "dedup_incremental": (q_dedup_incremental, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
     "ivf_topk": (q_ivf_topk, None),

@@ -1,0 +1,195 @@
+"""Cross-crawl incremental dedup: today's crawl against ALL prior crawls.
+
+The batch dedup family (operators/dedup.py) deduplicates ONE corpus.
+Real ingestion is incremental: crawl N must be deduplicated against the
+union of crawls 1..N-1 without ever re-joining the historical state
+against itself.  This module persists the MinHash signature table as the
+durable dedup state and bands only NEW x STATE and NEW x NEW candidate
+pairs:
+
+    state table: (doc_id long, sig array<bigint>, crawl_id string)
+        partitioned by crawl_id (sources/catalog.write_partitioned —
+        Iceberg overwritePartitions when available, dynamic-overwrite
+        parquet otherwise)
+
+    dedup_against(state_sigs, new_sigs):
+        band both sides with the SAME band hashing as
+        lsh_candidate_pairs, join new-banded (small) against
+        all-banded on (band_idx, band_hash), and keep a pair only when
+        the left side is NEW — state x state pairs are structurally
+        excluded from the join output, so each ingest pays
+        O(new * bands) explode + one hash join keyed on the band
+        bucket, never O(state^2) and never a rescan-join of history
+        against itself.
+
+    ingest_crawl(...): the resumable protocol — find dups, drop
+        duplicate docs (keep-one within the new crawl via connected
+        components, drop anything matching state), append the
+        SURVIVORS' signatures under the crawl's partition.  The append
+        is a deterministic per-partition overwrite, so a crashed or
+        repeated ingest of the same crawl converges to byte-identical
+        state (the plans/lineage.py idempotency pattern); re-ingesting
+        an already-ingested crawl is a no-op by value.
+
+At 10^12 docs the state table is ~1 KB/doc of signatures partitioned by
+crawl; banding the new crawl is linear in its size, and the join
+shuffles only band-bucket matches.  Bucketing the state table on
+band_hash at write time would co-locate the join at the cost of a 32x
+larger state footprint (one row per band) — the signature-per-doc
+layout re-bands state per ingest instead, trading CPU for storage;
+both are linear, neither is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from audio_quality_checker_spark.operators.dedup import (
+    _banded_sigs,
+    minhash_signatures,
+)
+
+
+def dedup_against(state_sigs: DataFrame, new_sigs: DataFrame,
+                  id_col: str = "doc_id", n_hashes: int = 128,
+                  bands: int = 32, threshold: float = 0.7) -> DataFrame:
+    """(id_a, id_b, est_jaccard): every near-dup pair involving at least
+    one NEW document — new x state and new x new, never state x state.
+    Pair ids are canonicalized (id_a < id_b); estimates come from full
+    signature agreement exactly as in minhash_near_dups, so the pair
+    set equals the batch operator's output restricted to pairs touching
+    the new crawl (asserted by the bounds gate)."""
+    tagged = state_sigs.select(
+        F.col(id_col).alias("_id"), "sig", F.lit(False).alias("_new")
+    ).unionByName(
+        new_sigs.select(
+            F.col(id_col).alias("_id"), "sig", F.lit(True).alias("_new")
+        )
+    )
+    tagged.persist()
+    tagged.count()  # eager: banding + both verify sides reference it
+    banded = _banded_sigs(tagged, "_id", bands, n_hashes,
+                          extra_cols=("_new",))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            # left side is always NEW; right side is state (any id) or a
+            # strictly-larger new id — state x state never joins, and
+            # new x new pairs appear exactly once
+            & F.col("a._new")
+            & (~F.col("b._new") | (F.col("a._id") < F.col("b._id")))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = tagged.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = tagged.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_a")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The accumulated signature state, or None before the first crawl.
+    Probed by reading, not os.path (driver-local paths are wrong on
+    HDFS/S3 — same rationale as plans/lineage._read_lineage)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(state_path)
+        df.schema
+        return df
+    except AnalysisException:
+        return None
+
+
+def ingest_crawl(spark: SparkSession, new_docs: DataFrame, state_path: str,
+                 crawl_id: str, id_col: str = "doc_id",
+                 text_col: str = "text", n_hashes: int = 128,
+                 bands: int = 32, threshold: float = 0.7) -> dict:
+    """Resumable incremental ingest: dedup `new_docs` against the stored
+    state, keep one representative per within-crawl cluster, drop
+    anything duplicating history, append survivors' signatures under
+    partition crawl_id.  Returns counters.  Deterministic end-to-end,
+    and the state append overwrites only this crawl's partition — a
+    killed/re-run ingest converges to identical state (tested)."""
+    from audio_quality_checker_spark.operators.components import (
+        connected_components,
+    )
+    from audio_quality_checker_spark.sources.catalog import write_partitioned
+
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes)
+    new_sigs.persist()
+    n_new = new_sigs.count()
+
+    state = read_state(spark, state_path)
+    if state is None:
+        state = spark.createDataFrame(
+            [], f"{id_col} long, sig array<bigint>, crawl_id string"
+        )
+    pairs = dedup_against(
+        state, new_sigs, id_col, n_hashes, bands, threshold
+    )
+    pairs.persist()
+    n_pairs = pairs.count()
+
+    state_ids = state.select(F.col(id_col).alias("_sid")).distinct()
+    # new docs duplicating HISTORY: dropped outright
+    vs_state = (
+        pairs.select(F.col("id_a").alias("_sid"), F.col("id_b").alias("nid"))
+        .join(state_ids, "_sid")
+        .select("nid")
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("_sid"), F.col("id_a").alias("nid")
+            )
+            .join(state_ids, "_sid")
+            .select("nid")
+        )
+        .distinct()
+    )
+    # within-crawl clusters: keep the minimum id of each component
+    new_pairs = pairs.join(
+        state_ids, pairs.id_a == state_ids._sid, "left_anti"
+    ).join(state_ids, pairs.id_b == state_ids._sid, "left_anti")
+    comp_losers = (
+        connected_components(new_pairs.select("id_a", "id_b"))
+        .where(F.col("component") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("nid"))
+        if new_pairs.limit(1).count()
+        else spark.createDataFrame([], "nid long")
+    )
+    dropped = vs_state.unionByName(comp_losers).distinct()
+    survivors = new_sigs.join(
+        dropped.select(F.col("nid").alias(id_col)), id_col, "left_anti"
+    ).withColumn("crawl_id", F.lit(crawl_id))
+    write_partitioned(survivors, state_path, "crawl_id")
+    n_dropped = dropped.count()
+    pairs.unpersist()
+    new_sigs.unpersist()
+    return {
+        "crawl_id": crawl_id,
+        "n_new_docs": n_new,
+        "n_dup_pairs": n_pairs,
+        "n_dropped": n_dropped,
+        "n_survivors": n_new - n_dropped,
+    }

@@ -170,6 +170,30 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return staged.mapInPandas(compute, schema=f"{id_col} long, sig array<bigint>")
 
 
+def _banded_sigs(sigs: DataFrame, id_col: str, bands: int, n_hashes: int,
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *extra, band_idx, band_hash): one row per (doc, band).  Band
+    hash = xxhash64 over the band's r signature components passed as
+    separate long columns plus the band index (no per-band
+    slice+cast-to-string array churn — xxhash64 is variadic)."""
+    r = n_hashes // bands
+    return sigs.select(
+        id_col,
+        *extra_cols,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(i),
+                        *[F.col("sig")[i * r + j] for j in range(r)],
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 32,
                         n_hashes: int | None = None,
@@ -196,25 +220,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                 [], "id_a long, id_b long"
             )
         n_hashes = len(row["sig"])
-    r = n_hashes // bands
-    # band hash = xxhash64 over the band's r signature components passed
-    # as separate long columns plus the band index (no per-band
-    # slice+cast-to-string array churn — xxhash64 is variadic)
-    banded = sigs.select(
-        id_col,
-        *block_cols,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(i),
-                        *[F.col("sig")[i * r + j] for j in range(r)],
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _banded_sigs(sigs, id_col, bands, n_hashes, extra_cols=block_cols)
     a = banded.alias("a")
     b = banded.alias("b")
     cond = (

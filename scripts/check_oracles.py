@@ -335,6 +335,36 @@ def _bounds_components(spark, sf, con, rows, cols):
     return []
 
 
+def _bounds_incremental(spark, sf, con, rows, cols):
+    """Set equality with the BATCH pair search restricted to the pair
+    universe the incremental ingest owns: every minhash_near_dups pair
+    over the full corpus that touches at least one odd (new-crawl) doc,
+    with identical estimates — and nothing else (state x state pairs
+    must be structurally absent)."""
+    from audio_quality_checker_spark.operators.dedup import minhash_near_dups
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(d, threshold=0.5).collect()
+    }
+    expected = {
+        p: e for p, e in batch.items() if p[0] % 2 == 1 or p[1] % 2 == 1
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {(r[idx["id_a"]], r[idx["id_b"]]): r[idx["est_jaccard"]] for r in rows}
+    problems = []
+    if got != expected:
+        state_only = [p for p in got if p[0] % 2 == 0 and p[1] % 2 == 0]
+        problems.append(
+            f"pair set != batch-restricted: missing "
+            f"{len(set(expected) - set(got))}, spurious "
+            f"{len(set(got) - set(expected))}, state-x-state leaked "
+            f"{len(state_only)}"
+        )
+    return problems
+
+
 BOUNDS = {
     "kll_quantiles": _bounds_kll,
     "tdigest_quantiles": _bounds_kll,
@@ -344,6 +374,7 @@ BOUNDS = {
     "simhash_dedup": _bounds_simhash,
     "minhash_dedup": _bounds_minhash,
     "near_dup_pairs": _bounds_near_dup,
+    "dedup_incremental": _bounds_incremental,
 }
 
 

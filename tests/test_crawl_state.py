@@ -1,0 +1,100 @@
+"""Cross-crawl incremental dedup: new x state and new x new pairs found,
+state x state structurally excluded, and the state append is idempotent
+under kill/re-run (re-ingest converges to identical state)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from audio_quality_checker_spark.operators.crawl_state import (
+    dedup_against,
+    ingest_crawl,
+    read_state,
+)
+from audio_quality_checker_spark.operators.dedup import minhash_signatures
+
+
+def _doc(i: int, n: int = 60) -> str:
+    return " ".join(f"c{i:04d}t{j:03d}" for j in range(n))
+
+
+def _near(i: int, n: int = 60, swap: int = 4) -> str:
+    toks = _doc(i, n).split()
+    toks[-swap:] = [f"swapped{j}" for j in range(swap)]
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def crawls(spark):
+    # crawl 1: docs 0..19, including an INTERNAL near-dup pair (5, 105)
+    c1 = [(i, _doc(i)) for i in range(20)] + [(105, _near(5))]
+    # crawl 2: unique docs 1000..1009, a near-dup of crawl-1 doc 7
+    # (id 1100), an exact dup of crawl-1 doc 3 (id 1101), and an
+    # internal near-dup pair (1005, 1200)
+    c2 = (
+        [(1000 + i, _doc(1000 + i)) for i in range(10)]
+        + [(1100, _near(7)), (1101, _doc(3)), (1200, _near(1005))]
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    return mk(c1), mk(c2)
+
+
+def test_dedup_against_excludes_state_state(spark, crawls):
+    """Crawl-1's internal pair (5, 105) is STATE x STATE once crawl 1 is
+    state: it must not be re-emitted when ingesting crawl 2, while every
+    pair touching crawl 2 must be."""
+    c1, c2 = crawls
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup_against(
+            minhash_signatures(c1), minhash_signatures(c2), threshold=0.5
+        ).collect()
+    }
+    assert (5, 105) not in pairs, "state x state pair leaked"
+    assert (7, 1100) in pairs
+    assert (3, 1101) in pairs and pairs[(3, 1101)] == 1.0
+    assert (1005, 1200) in pairs
+
+
+def test_ingest_protocol_and_resume(spark, crawls, tmp_path):
+    """Full two-crawl protocol: crawl-2 dups of crawl-1 are caught and
+    dropped, within-crawl clusters keep one doc, and re-running an
+    ingest (the crash-recovery path) yields byte-identical state."""
+    c1, c2 = crawls
+    state = str(tmp_path / "dedup_state")
+
+    r1 = ingest_crawl(spark, c1, state, "crawl-1", threshold=0.5)
+    assert r1["n_new_docs"] == 21
+    # internal pair (5,105): keep 5, drop 105
+    assert r1["n_dropped"] == 1 and r1["n_survivors"] == 20
+    ids1 = {
+        r["doc_id"] for r in read_state(spark, state).collect()
+    }
+    assert 5 in ids1 and 105 not in ids1
+
+    r2 = ingest_crawl(spark, c2, state, "crawl-2", threshold=0.5)
+    assert r2["n_new_docs"] == 13
+    # dropped: 1100 (near-dup of state 7), 1101 (exact dup of state 3),
+    # 1200 (loses within-crawl keep-one to 1005)
+    assert r2["n_dropped"] == 3, r2
+    snap = sorted(
+        (r["doc_id"], r["crawl_id"], tuple(r["sig"]))
+        for r in read_state(spark, state).collect()
+    )
+    ids2 = {d for d, _, _ in snap}
+    assert {1100, 1101, 1200}.isdisjoint(ids2)
+    assert {1000, 1005}.issubset(ids2)
+
+    # resume: re-ingest crawl 2 (same input, same crawl_id) — the
+    # partition overwrite must converge to IDENTICAL state, and no
+    # survivor may be re-dropped by its own signatures already being
+    # in state
+    r2b = ingest_crawl(spark, c2, state, "crawl-2", threshold=0.5)
+    snap_b = sorted(
+        (r["doc_id"], r["crawl_id"], tuple(r["sig"]))
+        for r in read_state(spark, state).collect()
+    )
+    assert snap_b == snap, "re-ingest changed the state"
+    assert r2b["n_survivors"] == r2["n_survivors"] == 10
