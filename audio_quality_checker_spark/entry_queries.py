@@ -1469,6 +1469,27 @@ def q_token_budget(spark, sf):
     )
 
 
+def q_token_budget_bpe(spark, sf):
+    """Tokenizer-token budget (functions/bpe.py): merges trained
+    deterministically on a bounded sample of THIS corpus (driver-side,
+    KB-sized — the IVF-centroid pattern), counts computed distributed
+    with per-batch word memoization.  Rows-only driver check; the
+    bounds gate re-encodes every document with a pure-Python reference
+    encoder applying the same merges and requires exact per-lang
+    equality."""
+    from audio_quality_checker_spark.functions.bpe import (
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    d = load(spark, sf, "documents")
+    merges = train_bpe(d, vocab_size=384, sample_cap=2_000)
+    return bpe_token_counts(d, merges).groupBy("lang").agg(
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 SQL_TOKEN_BUDGET = """
 SELECT lang,
        CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
@@ -1524,6 +1545,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_dedup": (q_minhash_dedup, None),
     "dedup_components": (q_dedup_components, None),
     "dedup_incremental": (q_dedup_incremental, None),
+    "token_budget_bpe": (q_token_budget_bpe, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
     "ivf_topk": (q_ivf_topk, None),

@@ -1,0 +1,165 @@
+"""Tokenizer-token budgets: a real byte-pair-encoding path.
+
+LLM data budgeting counts TOKENIZER tokens, not whitespace words (the
+round-3 gap: text_stats' bpe_est_tokens is a chars/4-style estimate).
+This module provides an exact BPE count with no external dependency:
+
+ - `train_bpe(df, vocab_size)`: learn the merge list from a BOUNDED,
+   deterministic sample of the corpus, driver-side — the standard
+   tokenizer-training shape (Sennrich et al., "Neural Machine
+   Translation of Rare Words with Subword Units", ACL 2016): start from
+   bytes, repeatedly merge the most frequent adjacent pair.  The merge
+   list is KBs and rides UDF closures like the IVF centroids.
+ - `bpe_token_counts(df, merges)`: distributed exact encoding.  Inside
+   each Arrow batch, words are counted once (pandas value_counts) and
+   ENCODED ONCE PER DISTINCT WORD — Zipf makes the word-level memo hit
+   rate extreme, so the per-word merge loop runs on the tiny distinct
+   tail, not per row (the same memoization production tokenizers use).
+ - If `tiktoken` is importable (not in this container), `exact_counts`
+   uses it instead — same budgeting surface, import-gated like PIL in
+   operators/multimodal.py.
+
+The pytest gate asserts the Spark path equals a pure-Python reference
+encoder applying the same merges byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _word_freqs(df: DataFrame, text_col: str, sample_cap: int,
+                id_col: str) -> dict[tuple[int, ...], int]:
+    """Word -> count over a deterministic sample (orderBy id + limit =
+    TakeOrderedAndProject, no global sort — same determinism rationale
+    as similarity.train_centroids).  Words are byte tuples."""
+    rows = (
+        df.select(id_col, text_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    return {tuple(r["w"].encode("utf-8")): r["count"] for r in rows}
+
+
+def train_bpe(df: DataFrame, vocab_size: int = 512,
+              sample_cap: int = 50_000, text_col: str = "text",
+              id_col: str = "doc_id") -> list[tuple[int, int]]:
+    """Learn `vocab_size - 256` merges (ids 256.. assigned in order).
+    Returns the merge list [(left_id, right_id), ...] — the entire
+    tokenizer state, deterministic for a given corpus sample."""
+    freqs = _word_freqs(df, text_col, sample_cap, id_col)
+    words = [list(w) for w in freqs]
+    counts = list(freqs.values())
+    merges: list[tuple[int, int]] = []
+    n_merges = vocab_size - 256
+    for step in range(n_merges):
+        pair_counts: dict[tuple[int, int], int] = {}
+        for w, c in zip(words, counts):
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, then pair ids asc
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        new_id = 256 + step
+        merges.append(best)
+        for w in words:
+            i = 0
+            while i < len(w) - 1:
+                if w[i] == best[0] and w[i + 1] == best[1]:
+                    w[i:i + 2] = [new_id]
+                else:
+                    i += 1
+    return merges
+
+
+def encode_len(word_bytes: bytes, ranks: dict[tuple[int, int], int]) -> int:
+    """Exact BPE token count of one word: repeatedly merge the
+    lowest-rank adjacent pair — the reference encoder the Spark path is
+    tested against."""
+    w = list(word_bytes)
+    while len(w) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(w) - 1):
+            r = ranks.get((w[i], w[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        w[best_i:best_i + 2] = [256 + best_rank]
+    return len(w)
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[int, int]],
+                     text_col: str = "text",
+                     out_col: str = "bpe_tokens") -> DataFrame:
+    """df + exact BPE token count per row.  The merge list rides the
+    closure; each Arrow batch tokenizes its DISTINCT words once
+    (value_counts + memo dict), then the per-row count is a vectorized
+    map + dot product over word multiplicities."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def count_udf(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def doc_tokens(t) -> int:
+            if t is None:
+                return 0
+            total = 0
+            for w in t.split():
+                n = memo.get(w)
+                if n is None:
+                    n = encode_len(w.encode("utf-8"), ranks)
+                    memo[w] = n
+                total += n
+            return total
+
+        return texts.map(doc_tokens).astype("int64")
+
+    return df.withColumn(out_col, count_udf(F.col(text_col)))
+
+
+def exact_counts_available() -> bool:
+    try:
+        import tiktoken  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def tiktoken_counts(df: DataFrame, encoding: str = "cl100k_base",
+                    text_col: str = "text",
+                    out_col: str = "bpe_tokens") -> DataFrame:
+    """Import-gated production-tokenizer path (absent in this
+    container): same surface as bpe_token_counts, counts from
+    tiktoken's encoder, batch-encoded inside the Arrow UDF."""
+    import tiktoken
+
+    enc = tiktoken.get_encoding(encoding)
+
+    @F.pandas_udf("long")
+    def count_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(t) for t in enc.encode_ordinary_batch(
+                ["" if t is None else t for t in texts]
+            )],
+            dtype="int64",
+        )
+
+    return df.withColumn(out_col, count_udf(F.col(text_col)))

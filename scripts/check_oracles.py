@@ -365,6 +365,46 @@ def _bounds_incremental(spark, sf, con, rows, cols):
     return problems
 
 
+def _bounds_bpe(spark, sf, con, rows, cols):
+    """Exact per-lang equality with a pure-Python reference encoder
+    applying the SAME (deterministically retrained) merge list to every
+    document — validates both the distributed memoized encoding and the
+    training determinism."""
+    from audio_quality_checker_spark.functions.bpe import (
+        encode_len,
+        train_bpe,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    merges = train_bpe(d, vocab_size=384, sample_cap=2_000)
+    ranks = {p: i for i, p in enumerate(merges)}
+    texts = con.execute(
+        "SELECT lang, text FROM documents"
+    ).fetchall()
+    expected: dict = {}
+    memo: dict = {}
+    for lang, t in texts:
+        total = 0
+        for w in (t or "").split():
+            if w not in memo:
+                memo[w] = encode_len(w.encode("utf-8"), ranks)
+            total += memo[w]
+        e = expected.setdefault(lang, [0, 0])
+        e[0] += total
+        e[1] += 1
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {
+        r[idx["lang"]]: [r[idx["total_bpe_tokens"]], r[idx["n_docs"]]]
+        for r in rows
+    }
+    if got != expected:
+        return [
+            f"per-lang budgets != reference encoder: "
+            f"{ {k: (got.get(k), expected.get(k)) for k in set(got) | set(expected) if got.get(k) != expected.get(k)} }"
+        ]
+    return []
+
+
 BOUNDS = {
     "kll_quantiles": _bounds_kll,
     "tdigest_quantiles": _bounds_kll,
@@ -375,6 +415,7 @@ BOUNDS = {
     "minhash_dedup": _bounds_minhash,
     "near_dup_pairs": _bounds_near_dup,
     "dedup_incremental": _bounds_incremental,
+    "token_budget_bpe": _bounds_bpe,
 }
 
 
