@@ -137,6 +137,79 @@ def main() -> int:
         )
     )
 
+    # round-4 operators ----------------------------------------------------
+    import pandas as pd
+
+    from audio_quality_checker_spark.operators.crawl_state import (
+        dedup_against,
+    )
+    from audio_quality_checker_spark.operators.similarity import bq_topk
+
+    docs_pdf = pd.DataFrame(
+        {"doc_id": range(12), "text": [f"tok{i}a tok{i}b tok{i}c" for i in range(12)]}
+    )
+    docs_df = spark.createDataFrame(docs_pdf)
+    state_sigs = minhash_signatures(docs_df.where("doc_id % 2 = 0"))
+    new_sigs = minhash_signatures(docs_df.where("doc_id % 2 = 1"))
+    sections.append(
+        (
+            "Incremental dedup: NEW x (STATE + NEW) band join only",
+            "The candidate join carries `a._new` and `(NOT b._new OR a._id "
+            "< b._id)` inside the join condition — a state x state pair "
+            "cannot appear in the join OUTPUT at any input, so history is "
+            "never re-joined against itself; the join itself stays an "
+            "equi-join keyed on (band_idx, band_hash).",
+            fmt(dedup_against(state_sigs, new_sigs, threshold=0.5)),
+        )
+    )
+
+    vec_pdf = pd.DataFrame(
+        {
+            "vec_id": range(8),
+            "embedding": [[float(i + j) for j in range(8)] for i in range(8)],
+        }
+    )
+    vecs = spark.createDataFrame(vec_pdf)
+    sections.append(
+        (
+            "Binary-quantization ANN: popcount sketch scan + exact re-rank",
+            "The hamming prefilter compares 24-byte packed sketches with "
+            "xor + bit_count inside WholeStageCodegen (no Python in the "
+            "scan); only the top-cand_frac survivors per query reach the "
+            "exact cosine stage.  The full vectors never ride the "
+            "cross-join — only (id, 3-long sketch) rows do.",
+            fmt(
+                bq_topk(
+                    vecs.where("vec_id < 2"), vecs, dim=8, k=2,
+                    n_bits=192, cand_frac=0.5, n_corpus=8,
+                )
+            ),
+        )
+    )
+
+    from audio_quality_checker_spark.operators.components import (
+        _large_star,
+        _orient_high_low,
+    )
+
+    edges = _orient_high_low(
+        spark.createDataFrame(
+            pd.DataFrame({"u": [1, 2, 3, 9], "v": [2, 3, 4, 1]})
+        )
+    )
+    sym = edges.unionByName(edges.selectExpr("v as u", "u as v"))
+    sections.append(
+        (
+            "Connected components: one large-star round",
+            "Each round is one algebraic groupBy-min (partial aggregation "
+            "absorbs hot keys map-side — look for the partial/final "
+            "HashAggregate pair) plus one equi-join on the vertex — no "
+            "iteration-long lineage (localCheckpoint truncates between "
+            "rounds).",
+            fmt(_large_star(sym)),
+        )
+    )
+
     with open(out_path, "w") as f:
         f.write(
             "# PLANS — formatted physical plans of the engine's key operators\n\n"
