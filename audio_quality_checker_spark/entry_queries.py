@@ -922,6 +922,35 @@ def q_ann_topk(spark, sf):
     return bq_topk(queries, e, dim=64, k=5, n_bits=192, cand_frac=0.08)
 
 
+def q_embedding_dedup(spark, sf):
+    """Embedding-cosine near-dup pairs at scale
+    (operators/similarity.embedding_near_dups): sign-sketch hamming
+    banding (Manku multi-table reuse) generates candidates, exact cosine
+    verifies — no all-pairs stage.  This corpus's true max cosine is
+    ~0.49, so the query PLANTS deterministic near-dups (vec_id < 50
+    perturbed in one component, cosine ~0.999) and must recover exactly
+    those pairs; the bounds gate brute-forces the same constructed set
+    and requires set equality."""
+    from audio_quality_checker_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    e = load(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * 1.2 + 0.05).otherwise(x),
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(pert)
+    return embedding_near_dups(allv, dim=64, threshold=0.98,
+                               sketch_radius=16)
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN, the kNN scale path.  n_probe/n_lists is the recall dial
     (measured here: 3/8 -> 0.68, 4/8 -> 0.79, 5/8 -> 0.90 recall@5); at
@@ -1548,6 +1577,7 @@ REGISTRY: dict[str, tuple] = {
     "token_budget_bpe": (q_token_budget_bpe, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
+    "embedding_dedup": (q_embedding_dedup, None),
     "ivf_topk": (q_ivf_topk, None),
     "brute_topk": (q_brute_topk, SQL_BRUTE_TOPK),
     "kll_quantiles": (q_kll_quantiles, None),

@@ -259,6 +259,62 @@ def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate PAIRS (the all-pairs sibling of the
+# top-k surfaces): find every pair with cosine >= threshold without an
+# all-pairs stage.  High-similarity vectors have nearly identical
+# 64-bit sign sketches (cos 0.9 -> expected hamming 9.2/64, sigma 2.8;
+# random pairs center at 32), so the pair search IS a SimHash search
+# over the sketch — reuse the Manku multi-table banding from
+# operators/dedup.py (complete recall within the sketch radius), then
+# verify exact cosine on the candidates.  End-to-end recall is the
+# probability a >=threshold pair lands within the sketch radius
+# (radius 16 catches ~99% at cos 0.9); precision is exact (cosine
+# verified).  Work is O(n * tables) + candidates — the same
+# no-quadratic-stage guarantee as text near-dup.
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.9,
+                        sketch_radius: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 42) -> DataFrame:
+    """(id_a, id_b, cosine): all pairs with cosine >= threshold, found
+    via sign-sketch hamming banding (no all-pairs join).  Deterministic;
+    recall bounded by P[hamming(sketch) <= sketch_radius | cosine >=
+    threshold] (~0.99 at the 0.9/16 defaults), precision exact."""
+    from audio_quality_checker_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+        simhash_pairs_multitable,
+    )
+
+    sk = hyperplane_signatures(df, dim, n_planes=64, id_col=id_col,
+                               vec_col=vec_col, seed=seed).select(
+        F.col(id_col).alias("_vid"), F.col("bucket").alias("simhash")
+    )
+    sk.persist()
+    sk.count()  # the banding join references the sketch frame twice
+    route = (
+        simhash_pairs_from_sigs if sketch_radius <= 4
+        else simhash_pairs_multitable
+    )
+    cand = route(sk, "_vid", sketch_radius).select("id_a", "id_b")
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(_cos("qv", "cv"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: spherical k-means coarse quantizer + nprobe
 # search — the second scale path next to hyperplane LSH.  Training runs on
 # a bounded sample driver-side (standard IVF practice: centroids are tiny

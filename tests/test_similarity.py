@@ -177,3 +177,30 @@ def test_bq_recall_beats_floor_on_moderate_cosine(spark):
     total = sum(len(e) for e in exact.values())
     assert hits / total >= 0.70, f"recall {hits/total:.2f}"
     df.unpersist()
+
+
+def test_embedding_near_dups_planted_recall_and_precision(spark, vectors):
+    """The all-pairs sibling: every planted near-dup pair (cosine ~1)
+    surfaces with its exact cosine; no random pair (max cosine well
+    below threshold on this fixture) is reported."""
+    from audio_quality_checker_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    df, planted = vectors
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(df, dim=DIM, threshold=0.9,
+                                     sketch_radius=16).collect()
+    }
+    for qid, nid in planted:
+        assert (nid, qid) in got, f"planted pair {nid},{qid} missed"
+        assert got[(nid, qid)] >= 0.97
+    # precision: verify every reported pair against exact cosine
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(df, df, k=20).collect()
+    }
+    for (a, b), c in got.items():
+        assert exact.get((a, b), exact.get((b, a))) == c
+        assert c >= 0.9
