@@ -924,13 +924,15 @@ def q_ann_topk(spark, sf):
 
 def q_embedding_dedup(spark, sf):
     """Embedding-cosine near-dup pairs at scale
-    (operators/similarity.embedding_near_dups): sign-sketch hamming
-    banding (Manku multi-table reuse) generates candidates, exact cosine
-    verifies — no all-pairs stage.  This corpus's true max cosine is
-    ~0.49, so the query PLANTS deterministic near-dups (vec_id < 50
-    perturbed in one component, cosine ~0.999) and must recover exactly
-    those pairs; the bounds gate brute-forces the same constructed set
-    and requires set equality."""
+    (operators/similarity.embedding_near_dups): banded sign-sketch LSH
+    (128 bits, 8 bands of 16 — recall ~0.97 at cos 0.98, ~1 at the
+    planted cos 0.999; random-pair collision 0.012%) generates
+    candidates, exact cosine verifies — no all-pairs stage.  This
+    corpus's true max cosine is ~0.49, so the query PLANTS
+    deterministic near-dups (vec_id < 50 perturbed in one component,
+    cosine ~0.999) and must recover exactly those pairs; the bounds
+    gate brute-forces the same constructed set and requires set
+    equality."""
     from audio_quality_checker_spark.operators.similarity import (
         embedding_near_dups,
     )
@@ -947,8 +949,7 @@ def q_embedding_dedup(spark, sf):
         ).alias("embedding"),
     )
     allv = base.unionByName(pert)
-    return embedding_near_dups(allv, dim=64, threshold=0.98,
-                               sketch_radius=16)
+    return embedding_near_dups(allv, dim=64, threshold=0.98)
 
 
 def q_ivf_topk(spark, sf):

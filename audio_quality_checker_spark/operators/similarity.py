@@ -261,42 +261,68 @@ def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate PAIRS (the all-pairs sibling of the
 # top-k surfaces): find every pair with cosine >= threshold without an
-# all-pairs stage.  High-similarity vectors have nearly identical
-# 64-bit sign sketches (cos 0.9 -> expected hamming 9.2/64, sigma 2.8;
-# random pairs center at 32), so the pair search IS a SimHash search
-# over the sketch — reuse the Manku multi-table banding from
-# operators/dedup.py (complete recall within the sketch radius), then
-# verify exact cosine on the candidates.  End-to-end recall is the
-# probability a >=threshold pair lands within the sketch radius
-# (radius 16 catches ~99% at cos 0.9); precision is exact (cosine
-# verified).  Work is O(n * tables) + candidates — the same
-# no-quadratic-stage guarantee as text near-dup.
+# all-pairs stage.  Construction: minhash-LSH-style banding over a WIDE
+# sign sketch — n_bits hyperplane sign bits split into bands of
+# band_bits; vectors sharing >= 1 exact band value become candidates,
+# then exact cosine verifies.  Per-bit agreement for a pair at angle
+# theta is p = 1 - theta/pi, so recall = 1 - (1 - p^band_bits)^n_bands
+# and random-pair collision = n_bands / 2^band_bits.  At the defaults
+# (128 bits, 8 bands of 16): cos 0.98 -> recall ~0.97, cos 0.999
+# (planted dups) -> ~1-3e-7, random pairs -> 0.012% candidate
+# probability.  (A first cut used Manku pigeonhole banding at hamming
+# radius 16/64, but complete recall at 25% relative radius forces
+# ~4-bit keys — measured 64s at 20k vectors, a quadratic bucket join;
+# the near-dup regime wants narrow bands with probabilistic recall,
+# exactly like text MinHash.)  Work is O(n * n_bands) explode + a
+# bucket-keyed equi-join + candidate verification.
 # ---------------------------------------------------------------------------
 
-def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.9,
-                        sketch_radius: int = 16,
+def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
+                        n_bits: int = 128, band_bits: int = 16,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         seed: int = 42) -> DataFrame:
-    """(id_a, id_b, cosine): all pairs with cosine >= threshold, found
-    via sign-sketch hamming banding (no all-pairs join).  Deterministic;
-    recall bounded by P[hamming(sketch) <= sketch_radius | cosine >=
-    threshold] (~0.99 at the 0.9/16 defaults), precision exact."""
-    from audio_quality_checker_spark.operators.dedup import (
-        simhash_pairs_from_sigs,
-        simhash_pairs_multitable,
-    )
-
-    sk = hyperplane_signatures(df, dim, n_planes=64, id_col=id_col,
-                               vec_col=vec_col, seed=seed).select(
-        F.col(id_col).alias("_vid"), F.col("bucket").alias("simhash")
-    )
+    """(id_a, id_b, cosine): pairs with cosine >= threshold, found via
+    banded sign-sketch LSH (no all-pairs join).  Deterministic (seeded
+    planes); precision exact (every candidate cosine-verified); recall
+    1-(1-p^band_bits)^(n_bits/band_bits) with p = 1 - arccos(cos)/pi —
+    intended for the NEAR-DUP regime (threshold >= ~0.95)."""
+    if n_bits % band_bits:
+        raise ValueError("band_bits must divide n_bits")
+    if band_bits > 32:
+        raise ValueError("band_bits > 32 would overflow the band mask")
+    n_words = n_bits // 64
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    sk = binary_signatures(df, dim, n_bits, id_col, vec_col, seed)
     sk.persist()
     sk.count()  # the banding join references the sketch frame twice
-    route = (
-        simhash_pairs_from_sigs if sketch_radius <= 4
-        else simhash_pairs_multitable
+    banded = sk.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("sketch")[w], band_bits * i
+                    ).bitwiseAND(F.lit(mask))
+                    for w in range(n_words)
+                    for i in range(per_word)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
     )
-    cand = route(sk, "_vid", sketch_radius).select("id_a", "id_b")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._vid") < F.col("b._vid")),
+        )
+        .select(
+            F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b")
+        )
+        .distinct()
+    )
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("qv"),

@@ -190,8 +190,7 @@ def test_embedding_near_dups_planted_recall_and_precision(spark, vectors):
     df, planted = vectors
     got = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in embedding_near_dups(df, dim=DIM, threshold=0.9,
-                                     sketch_radius=16).collect()
+        for r in embedding_near_dups(df, dim=DIM, threshold=0.9).collect()
     }
     for qid, nid in planted:
         assert (nid, qid) in got, f"planted pair {nid},{qid} missed"
