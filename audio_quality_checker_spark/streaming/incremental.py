@@ -143,3 +143,56 @@ def stream_dedup(spark: SparkSession, pages_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_dedup(spark: SparkSession, docs_dir: str, state_path: str,
+                        threshold: float = 0.7,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        checkpoint: str | None = None,
+                        query_name: str = "stream_ingest_dedup",
+                        max_files_per_trigger: int = 8):
+    """Streaming NEAR-dup cross-crawl dedup: every micro-batch runs the
+    full `ingest_crawl` protocol (operators/crawl_state.py) against the
+    accumulated signature state — near-dups of ANY earlier batch (or
+    earlier crawl ingested by the batch job; the state table is shared)
+    are dropped, within-batch clusters keep one representative, and
+    survivors' signatures append under the batch's state partition.
+
+    `foreachBatch` + crawl_id = f"stream-{batch_id}" makes replay
+    exactly-once by construction: a re-executed epoch re-runs a
+    DETERMINISTIC ingest whose state append overwrites its own
+    partition (the plans/lineage.py idempotency pattern — the same
+    guarantee `ingest_crawl`'s kill/re-run test pins in batch mode).
+    `stream_dedup` above handles EXACT url dedup in-stream with bounded
+    state; this surface handles near-dup content, whose signature state
+    is the durable table by design.  Returns the StreamingQuery.
+    """
+    from audio_quality_checker_spark.operators.crawl_state import (
+        ingest_crawl,
+    )
+
+    docs_ddl = f"{id_col} long, {text_col} string"
+    stream = (
+        spark.readStream.schema(docs_ddl)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_crawl(
+            spark, batch_df, state_path, f"stream-{batch_id}",
+            id_col=id_col, text_col=text_col, threshold=threshold,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(per_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{state_path}/_checkpoint_ingest",
+        )
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

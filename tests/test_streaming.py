@@ -88,3 +88,60 @@ def test_stream_dedup_keeps_first_arrival(spark, tmp_path):
     )
     assert out2.select("url").distinct().count() == n_urls_total
     assert out2.groupBy("url").count().agg({"count": "max"}).first()[0] == 1
+
+
+def test_stream_ingest_dedup_across_batches(spark, tmp_path):
+    """Two micro-batches through the near-dup ingest: batch-2 dups of
+    batch-1 are dropped from the state, within-batch clusters keep one
+    representative, and restarting the stream over the same input adds
+    nothing (checkpoint + deterministic partition overwrite)."""
+    import pandas as pd
+
+    from audio_quality_checker_spark.operators.crawl_state import read_state
+    from audio_quality_checker_spark.streaming.incremental import (
+        stream_ingest_dedup,
+    )
+
+    def doc(i, n=60):
+        return " ".join(f"s{i:04d}t{j:03d}" for j in range(n))
+
+    def near(i, n=60, swap=4):
+        toks = doc(i, n).split()
+        toks[-swap:] = [f"sw{j}" for j in range(swap)]
+        return " ".join(toks)
+
+    docs_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    b1 = pd.DataFrame(
+        [(i, doc(i)) for i in range(10)] + [(105, near(5))],
+        columns=["doc_id", "text"],
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = stream_ingest_dedup(spark, docs_dir, state, threshold=0.5,
+                            max_files_per_trigger=1)
+    q.awaitTermination(120)
+    ids1 = {r["doc_id"] for r in read_state(spark, state).collect()}
+    assert 5 in ids1 and 105 not in ids1 and len(ids1) == 10
+
+    # batch 2: a near-dup of batch-1 doc 7, an exact dup of doc 3, and
+    # two fresh docs
+    b2 = pd.DataFrame(
+        [(200, near(7)), (201, doc(3)), (202, doc(202)), (203, doc(203))],
+        columns=["doc_id", "text"],
+    )
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(docs_dir)
+    q2 = stream_ingest_dedup(spark, docs_dir, state, threshold=0.5,
+                             max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    ids2 = {r["doc_id"] for r in read_state(spark, state).collect()}
+    assert ids2 == ids1 | {202, 203}, ids2
+
+    # restart over fully-processed input: no state change
+    q3 = stream_ingest_dedup(spark, docs_dir, state, threshold=0.5)
+    q3.awaitTermination(120)
+    snap = sorted(
+        (r["doc_id"], r["crawl_id"]) for r in read_state(spark, state).collect()
+    )
+    ids3 = {d for d, _ in snap}
+    assert ids3 == ids2
