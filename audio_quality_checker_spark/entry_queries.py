@@ -861,6 +861,59 @@ def q_dedup_components(spark, sf):
     )
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition filters per lang
+    (functions/text_stats.repetition_features): duplicate-line fraction
+    (pure in-row array math) and top-bigram fraction (partial-aggregated
+    (doc, bigram) groupBy — the token-counting shuffle shape).  Fully
+    SQL-expressible, so it gets a value-matched DuckDB oracle."""
+    from audio_quality_checker_spark.functions.text_stats import (
+        repetition_features,
+    )
+
+    d = load(spark, sf, "documents")
+    f = repetition_features(d)
+    return f.groupBy("lang").agg(
+        F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
+        F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+    list_filter(list_transform(string_split(trim(coalesce(text, '')), chr(10)),
+                               x -> trim(x)), x -> x != '') AS ls,
+    list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                x -> x != '') AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(ls) > 0
+         THEN round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+    END AS dlf
+  FROM base
+), bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM base WHERE len(toks) >= 2
+), bgc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS tbf
+  FROM bgc GROUP BY 1
+)
+SELECT lang,
+       round(avg(dlf), 6) AS avg_dup_line_frac,
+       round(avg(tbf), 6) AS avg_top_bigram_frac,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM feats LEFT JOIN top USING (doc_id)
+GROUP BY lang
+"""
+
+
 # single source of truth for the simhash query's radius — the bounds
 # brute-force in scripts/check_oracles.py derives its radius from here
 # instead of hardcoding it (round-3 advice)
@@ -1576,6 +1629,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, None),
     "dedup_incremental": (q_dedup_incremental, None),
     "token_budget_bpe": (q_token_budget_bpe, None),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
     "embedding_dedup": (q_embedding_dedup, None),

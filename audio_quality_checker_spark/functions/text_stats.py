@@ -134,6 +134,60 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws_tokens", ws).withColumn("bpe_est_tokens", pieces)
 
 
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """df + Gopher-style repetition metrics (Rae et al., "Scaling
+    Language Models: ... Gopher", 2021 §A1.1 — the standard LLM-corpus
+    repetition filters):
+
+      dup_line_frac:   1 - distinct/total over non-empty lines
+                       (NULL when a doc has no lines)
+      top_bigram_frac: occurrences of the most frequent word bigram /
+                       total bigrams (NULL when < 2 tokens)
+
+    dup_line_frac is pure array math in-row; top_bigram_frac explodes
+    (doc, bigram) and counts — a partial-aggregated groupBy keyed on
+    (doc, bigram), the token-counting shuffle shape, never a per-doc
+    Python loop."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6
+        ),
+    )
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1)),
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("_rid"),
+        dup_line_frac.alias("dup_line_frac"),
+        bigrams.alias("_bigrams"),
+    )
+    per_bigram = (
+        base.select("_rid", F.explode("_bigrams").alias("bg"))
+        .groupBy("_rid", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = per_bigram.groupBy("_rid").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    feats = base.select("_rid", "dup_line_frac").join(top, "_rid", "left")
+    return df.join(
+        feats.withColumnRenamed("_rid", id_col), id_col, "left"
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting — winnowed rolling hash (numpy kernel in Arrow batches)
 # ---------------------------------------------------------------------------

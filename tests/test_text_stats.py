@@ -96,3 +96,35 @@ def test_fingerprints_deterministic_and_safe(spark):
     )
     rows = {r["doc_id"]: r["fingerprints"] for r in with_fingerprints(df).collect()}
     assert rows[2] == [] and rows[3] == []
+
+
+def test_repetition_features_planted(spark):
+    """Gopher-style repetition metrics: hand-checkable planted docs."""
+    import pandas as pd
+
+    from audio_quality_checker_spark.functions.text_stats import (
+        repetition_features,
+    )
+
+    rows = [
+        # 4 lines, 2 distinct -> dup_line_frac 0.5; bigrams span lines
+        # (whitespace split): 11 bigrams, 'a b' x4 -> top 4/11
+        (0, "a b a b\nc d\na b a b\nc d"),
+        # all-distinct lines and bigrams -> 0 and 1/2
+        (1, "w x\ny z"),
+        # single token: no bigrams -> NULL top_bigram_frac
+        (2, "solo"),
+        # empty -> both NULL
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["top_bigram_frac"])
+        for r in repetition_features(df).collect()
+    }
+    assert got[0] == (0.5, round(4 / 11, 6))
+    assert got[1][0] == 0.0 and abs(got[1][1] - 1 / 3) < 1e-6
+    assert got[2] == (0.0, None)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
