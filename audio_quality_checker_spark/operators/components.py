@@ -53,22 +53,28 @@ def _fingerprint_and_stats(edges: DataFrame) -> tuple[int, int, dict]:
     convergence detection plus the group-key degree skew stats (max and
     median degree of the join/group key `u`) for the skew assertion —
     all from a single two-level agg on the same frame."""
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # xor-aggregated hashes: order-insensitive, exact-width, and immune
-    # to ANSI-mode long-overflow (a sum of xxhash64s throws under ANSI)
+    # to ANSI-mode long-overflow (a sum of xxhash64s throws under ANSI).
+    # Per-group xor of edge hashes re-xored globally equals the xor over
+    # ALL edges (associativity), so the edge-set hash, the
+    # degree-multiset hash, and the skew stats all ride ONE action.
+    deg = edges.groupBy("u").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("gh"),
+    )
     row = deg.agg(
         F.sum("deg").alias("n"),
+        F.bit_xor("gh").alias("edge_h"),
         F.bit_xor(F.xxhash64("u", "deg")).alias("degsum_h"),
         F.max("deg").alias("max_deg"),
         F.percentile_approx("deg", 0.5).alias("p50_deg"),
         F.count(F.lit(1)).alias("n_keys"),
     ).first()
     n = row["n"] or 0
-    # the degree-multiset hash is NOT the edge-set hash; combine with an
-    # edge hash so two different edge sets with equal degree profiles
-    # cannot alias.  Computed on the same cached frame, second tiny agg.
-    h_row = edges.agg(F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
-    h = (h_row["h"] or 0) ^ (row["degsum_h"] or 0)
+    # the degree-multiset hash is NOT the edge-set hash; combining both
+    # means two different edge sets with equal degree profiles cannot
+    # alias
+    h = (row["edge_h"] or 0) ^ (row["degsum_h"] or 0)
     stats = {
         "n_edges": n,
         "max_degree": row["max_deg"] or 0,
