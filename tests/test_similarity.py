@@ -203,3 +203,50 @@ def test_embedding_near_dups_planted_recall_and_precision(spark, vectors):
     for (a, b), c in got.items():
         assert exact.get((a, b), exact.get((b, a))) == c
         assert c >= 0.9
+
+
+def test_persistent_index_matches_direct_operators(spark, vectors, tmp_path):
+    """Build-once/query-many: index-backed top-k must be BIT-IDENTICAL
+    to the direct operators (same seeds, same plans), for both the BQ
+    and IVF methods, across a save/load cycle."""
+    from audio_quality_checker_spark.operators.similarity import (
+        bq_topk,
+        ivf_topk,
+    )
+    from audio_quality_checker_spark.operators.similarity_index import (
+        build_index,
+        load_index,
+    )
+
+    df, _ = vectors
+    queries = df.where(F.col("vec_id") >= 500)
+    idx = build_index(df, str(tmp_path / "ann"), dim=DIM, n_lists=8)
+    idx2 = load_index(spark, str(tmp_path / "ann"))
+    assert (idx2.dim, idx2.n_bits, idx2.n_lists, idx2.n_vectors) == (
+        DIM, 192, 8, 310,
+    )
+
+    from audio_quality_checker_spark.operators.similarity_index import (
+        index_topk,
+    )
+
+    direct_bq = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in bq_topk(queries, df, DIM, k=3).collect()
+    }
+    indexed_bq = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in index_topk(queries, df, idx2, k=3, method="bq").collect()
+    }
+    assert indexed_bq == direct_bq and len(indexed_bq) == 30
+
+    direct_ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(queries, df, DIM, k=3, n_lists=8,
+                          centroids=idx2.centroids).collect()
+    }
+    indexed_ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in index_topk(queries, df, idx2, k=3, method="ivf").collect()
+    }
+    assert indexed_ivf == direct_ivf
