@@ -108,6 +108,53 @@ def dedup_against(state_sigs: DataFrame, new_sigs: DataFrame,
     )
 
 
+def dedup_against_simhash(state_sigs: DataFrame, new_sigs: DataFrame,
+                          id_col: str = "doc_id", max_hamming: int = 6,
+                          table_cap: int = 128) -> DataFrame:
+    """(id_a, id_b, hamming): every SimHash pair within `max_hamming`
+    bits involving at least one NEW document — the SimHash twin of
+    `dedup_against` for pipelines whose stored state is the 64-bit
+    signature (8 bytes/doc instead of 1 KB of MinHash components).
+    Same structural guarantee: state x state pairs cannot appear in the
+    join output; recall within the radius is COMPLETE on the
+    new-touching universe (Manku multi-table construction, same tables
+    both sides)."""
+    from audio_quality_checker_spark.operators.dedup import (
+        _multitable_banded,
+    )
+
+    tagged = state_sigs.select(
+        F.col(id_col).alias("_id"), "simhash", F.lit(False).alias("_new")
+    ).unionByName(
+        new_sigs.select(
+            F.col(id_col).alias("_id"), "simhash", F.lit(True).alias("_new")
+        )
+    )
+    banded = _multitable_banded(tagged, "_id", max_hamming, None,
+                                table_cap, extra_cols=("_new",))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl_idx") == F.col("b.tbl_idx"))
+            & (F.col("a.key_hash") == F.col("b.key_hash"))
+            & F.col("a._new")
+            & (~F.col("b._new") | (F.col("a._id") < F.col("b._id")))
+            & (F.col("a._id") != F.col("b._id"))
+            & (hamming <= max_hamming),
+        )
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     """The accumulated signature state, or None before the first crawl.
     Probed by reading, not os.path (driver-local paths are wrong on

@@ -568,13 +568,14 @@ def _multitable_tables(max_hamming: int, key_blocks: int | None,
 
 
 def _multitable_banded(sigs: DataFrame, id_col: str, max_hamming: int,
-                       key_blocks: int | None, table_cap: int) -> DataFrame:
-    """(id, simhash, tbl_idx, key_hash): one row per (doc, table).  Each
-    table's key is the exact value of its q blocks (hashed together with
-    xxhash64 — equal blocks give equal keys, so recall is preserved; the
-    rare hash-collision false candidate dies on the hamming predicate in
-    the pair join).  Split out so tests can assert bucket-width bounds on
-    the exploded frame directly."""
+                       key_blocks: int | None, table_cap: int,
+                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, simhash, *extra, tbl_idx, key_hash): one row per (doc,
+    table).  Each table's key is the exact value of its q blocks (hashed
+    together with xxhash64 — equal blocks give equal keys, so recall is
+    preserved; the rare hash-collision false candidate dies on the
+    hamming predicate in the pair join).  Split out so tests can assert
+    bucket-width bounds on the exploded frame directly."""
     n_blocks, tables = _multitable_tables(max_hamming, key_blocks, table_cap)
     block_vals = [
         F.shiftrightunsigned("simhash", start).bitwiseAND(
@@ -585,6 +586,7 @@ def _multitable_banded(sigs: DataFrame, id_col: str, max_hamming: int,
     return sigs.select(
         id_col,
         "simhash",
+        *extra_cols,
         F.posexplode(
             F.array(
                 *[

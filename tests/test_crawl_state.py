@@ -98,3 +98,37 @@ def test_ingest_protocol_and_resume(spark, crawls, tmp_path):
     )
     assert snap_b == snap, "re-ingest changed the state"
     assert r2b["n_survivors"] == r2["n_survivors"] == 10
+
+
+def test_dedup_against_simhash(spark, crawls):
+    """SimHash twin: state x state excluded, every new-touching pair
+    within the radius found (complete recall on that universe —
+    verified against a brute-force over the same signatures)."""
+    from audio_quality_checker_spark.operators.crawl_state import (
+        dedup_against_simhash,
+    )
+    from audio_quality_checker_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    c1, c2 = crawls
+    s1, s2 = simhash_signatures(c1), simhash_signatures(c2)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup_against_simhash(s1, s2, max_hamming=10).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in s1.collect()}
+    new_sigs = {r["doc_id"]: r["simhash"] for r in s2.collect()}
+    both = {**sigs, **new_sigs}
+    expected = {}
+    ids = sorted(both)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if a in sigs and b in sigs:
+                continue  # state x state
+            h = bin((both[a] ^ both[b]) & (2**64 - 1)).count("1")
+            if h <= 10:
+                expected[(a, b)] = h
+    assert got == expected
+    assert (3, 1101) in got and got[(3, 1101)] == 0  # exact dup
+    assert all(not (a in sigs and b in sigs) for a, b in got)
