@@ -36,6 +36,9 @@ class CheckSuite:
     check_trend: bool = False            # day-over-day trend regression:
     # only meaningful when the run's partitions form ONE time series (a
     # rolling production crawl), not unrelated category days
+    check_repetition: bool = False       # Gopher-style within-doc
+    # repetition gate (dup-line fraction) — an LLM-training-data filter,
+    # not a reference check, so opt-in
 
     # ---- thresholds (detector.rs:153-159 analog) ----
     max_null_rate: float = 0.05          # per column
@@ -53,6 +56,8 @@ class CheckSuite:
     drift_driver_finalize: bool = True
     trend_window: int = 7                # trailing days in the trend slope
     max_trend_shift: float = 0.5         # stddev-normalized drift across window
+    max_doc_dup_line_frac: float = 0.30  # a doc above this is "repetitive"
+    max_repetitive_doc_rate: float = 0.05  # partition gate on such docs
     ks_sample_fraction: float = 0.10     # sample for the exact-KS oracle
     # below this sampled-row floor the exact-KS statistic is noise (the
     # two-sample critical value 1.36*sqrt(1/n+1/m) exceeds max_ks_stat

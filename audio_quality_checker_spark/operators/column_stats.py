@@ -193,3 +193,53 @@ def uniqueness_violations(stats: DataFrame, suite: CheckSuite) -> DataFrame:
     return stats_violations(stats, suite).where(
         F.col("violation_type") == "UniquenessViolation"
     )
+
+
+def repetition_violations(features, suite):
+    """Opt-in (``suite.check_repetition``) Gopher-style repetition gate:
+    flag a partition when too many of its documents are internally
+    repetitive (duplicate-line fraction above
+    ``suite.max_doc_dup_line_frac``) — boilerplate-heavy or
+    template-spam crawl slices that per-corpus dedup cannot see because
+    the repetition is WITHIN each document.  Uses the same
+    repetition_features kernel as the `repetition_stats` query (in-row
+    array math; the bigram stage is skipped — dup-line fraction alone
+    drives this gate, so the opt-in check adds no shuffle)."""
+    from pyspark.sql import functions as F
+
+    from audio_quality_checker_spark.operators.schema import (
+        graded_confidence,
+        violation_row,
+    )
+
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    dlf = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+    )
+    per_part = features.select("p_day", dlf.alias("dlf")).groupBy(
+        "p_day"
+    ).agg(
+        F.avg((F.col("dlf") > suite.max_doc_dup_line_frac).cast("double"))
+        .alias("rep_rate"),
+        F.round(F.avg("dlf"), 4).alias("avg_dlf"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    rate = F.coalesce(F.col("rep_rate"), F.lit(0.0))
+    return per_part.select(
+        *violation_row(
+            F.col("p_day"),
+            "RepetitionAnomaly",
+            "text",
+            graded_confidence(rate, suite.max_repetitive_doc_rate),
+            F.format_string(
+                "%.4f of docs have dup-line fraction > %.2f (avg %.4f)",
+                rate, F.lit(suite.max_doc_dup_line_frac), F.col("avg_dlf"),
+            ),
+            {"repetitive_doc_rate": rate, "avg_dup_line_frac": F.col("avg_dlf")},
+        )
+    ).where(F.col("confidence") > 0)

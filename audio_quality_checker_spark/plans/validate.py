@@ -218,6 +218,12 @@ def run_checks(
         )
 
         frames.append(trend_violations(stats, suite))
+    if suite.check_repetition:
+        from audio_quality_checker_spark.operators.column_stats import (
+            repetition_violations,
+        )
+
+        frames.append(repetition_violations(features, suite))
     if suite.check_extraction and not fused:
         # sampled mode: the only payload consumer reads html+text from the
         # SOURCE scan (column-pruned), not from the cache

@@ -117,3 +117,49 @@ def test_disabled_schema_check_emits_nothing(spark):
     types = {r["violation_type"] for r in res.violations.collect()}
     res.unpersist()
     assert "SchemaViolation" not in types
+
+
+def test_repetition_check_opt_in(spark):
+    """check_repetition (opt-in): a partition where most docs repeat
+    their own lines gets a RepetitionAnomaly; a clean partition and the
+    default suite (check off) get none."""
+    import pandas as pd
+
+    from audio_quality_checker_spark.config import CheckSuite
+    from audio_quality_checker_spark.plans.validate import run_checks
+    from audio_quality_checker_spark.sources.pages import gen_pages_pdf
+
+    pdf = gen_pages_pdf(40, categories=["Control_Clean"])
+    pdf["p_day"] = "2025-11-01"
+    rep = pdf.copy()
+    rep["p_day"] = "2025-11-02"
+    # 60% of docs: the same line pasted 10x (dup_line_frac 0.9)
+    rep_text = ("boilerplate nav footer line\n" * 10).strip()
+    rep.loc[rep.index[: int(len(rep) * 0.6)], "text"] = rep_text
+    pages = spark.createDataFrame(pd.concat([pdf, rep]))
+
+    suite = CheckSuite(
+        check_schema=False, check_uniqueness=False,
+        check_referential=False, check_drift=False,
+        check_extraction=False, check_repetition=True,
+    )
+    res = run_checks(spark, pages, None, None, suite)
+    v = {
+        (r["partition_key"], r["violation_type"])
+        for r in res.violations.collect()
+    }
+    assert ("2025-11-02", "RepetitionAnomaly") in v
+    assert ("2025-11-01", "RepetitionAnomaly") not in v
+    res.unpersist()
+
+    # default suite: the check never runs
+    res2 = run_checks(spark, pages, None, None, CheckSuite(
+        check_schema=False, check_uniqueness=False,
+        check_referential=False, check_drift=False,
+        check_extraction=False,
+    ))
+    assert not any(
+        r["violation_type"] == "RepetitionAnomaly"
+        for r in res2.violations.collect()
+    )
+    res2.unpersist()
