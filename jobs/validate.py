@@ -28,14 +28,21 @@ def main(argv=None) -> int:
     ap.add_argument("--quick", action="store_true", help="cheap structural checks only")
     ap.add_argument("--full", action="store_true", help="re-extract every row")
     ap.add_argument("--json", action="store_true", help="emit verdicts as JSON lines")
+    ap.add_argument("--repetition", action="store_true",
+                    help="opt-in within-doc repetition gate (dup-line "
+                         "fraction; RepetitionAnomaly violations)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
+
+    import dataclasses
 
     from audio_quality_checker_spark.config import FULL, QUICK, CheckSuite
     from audio_quality_checker_spark.plans.validate import print_report, validate
     from audio_quality_checker_spark.session import get_spark
 
     suite = QUICK if args.quick else (FULL if args.full else CheckSuite())
+    if args.repetition:
+        suite = dataclasses.replace(suite, check_repetition=True)
     spark = get_spark(app_name="aqcs-validate", cores=args.cores)
     t0 = time.time()
     res = validate(
