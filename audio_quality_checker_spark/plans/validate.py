@@ -222,8 +222,16 @@ def run_checks(
         from audio_quality_checker_spark.operators.column_stats import (
             repetition_violations,
         )
+        from audio_quality_checker_spark.operators.stats import (
+            with_partition_key,
+        )
 
-        frames.append(repetition_violations(features, suite))
+        # In fused mode `features` is None (the fused pass produced only
+        # the payload-free light frame); the gate needs `text`, so read it
+        # from the SOURCE scan, column-pruned to (warc_ts, text) — the
+        # same pattern as the sampled extraction check below.
+        rep_src = features if features is not None else with_partition_key(pages)
+        frames.append(repetition_violations(rep_src, suite))
     if suite.check_extraction and not fused:
         # sampled mode: the only payload consumer reads html+text from the
         # SOURCE scan (column-pruned), not from the cache

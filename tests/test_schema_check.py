@@ -163,3 +163,37 @@ def test_repetition_check_opt_in(spark):
         for r in res2.violations.collect()
     )
     res2.unpersist()
+
+
+def test_repetition_check_fused_mode(spark):
+    """--full --repetition: in fused mode `features` is None, so the
+    repetition gate must read text from the source scan (the round-4
+    wiring crashed here with AttributeError)."""
+    import pandas as pd
+
+    from audio_quality_checker_spark.config import CheckSuite
+    from audio_quality_checker_spark.plans.validate import run_checks
+    from audio_quality_checker_spark.sources.pages import gen_pages_pdf
+
+    pdf = gen_pages_pdf(30, categories=["Control_Clean"])
+    pdf["p_day"] = "2025-11-01"
+    rep = pdf.copy()
+    rep["p_day"] = "2025-11-02"
+    rep_text = ("boilerplate nav footer line\n" * 10).strip()
+    rep.loc[rep.index[: int(len(rep) * 0.6)], "text"] = rep_text
+    pages = spark.createDataFrame(pd.concat([pdf, rep]))
+
+    suite = CheckSuite(
+        check_schema=False, check_uniqueness=False,
+        check_referential=False, check_drift=False,
+        check_extraction=True, check_extraction_full=True,
+        check_repetition=True,
+    )
+    res = run_checks(spark, pages, None, None, suite)
+    v = {
+        (r["partition_key"], r["violation_type"])
+        for r in res.violations.collect()
+    }
+    res.unpersist()
+    assert ("2025-11-02", "RepetitionAnomaly") in v
+    assert ("2025-11-01", "RepetitionAnomaly") not in v
