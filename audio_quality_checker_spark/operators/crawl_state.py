@@ -100,12 +100,21 @@ def dedup_against(state_sigs: DataFrame, new_sigs: DataFrame,
         )
         / F.size("sig_a")
     )
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
+    # materialize the pair output, then release the tagged-union cache:
+    # stream_ingest_dedup calls this once per micro-batch, so a leaked
+    # persist here accumulates one cached frame per batch for the
+    # stream's lifetime.  The returned frame is persisted; callers that
+    # are done with it may `.unpersist()` it.
+    out.persist()
+    out.count()
+    tagged.unpersist()
+    return out
 
 
 def dedup_against_simhash(state_sigs: DataFrame, new_sigs: DataFrame,
@@ -195,8 +204,7 @@ def ingest_crawl(spark: SparkSession, new_docs: DataFrame, state_path: str,
         )
     pairs = dedup_against(
         state, new_sigs, id_col, n_hashes, bands, threshold
-    )
-    pairs.persist()
+    )  # returned persisted + materialized
     n_pairs = pairs.count()
 
     state_ids = state.select(F.col(id_col).alias("_sid")).distinct()
@@ -226,11 +234,18 @@ def ingest_crawl(spark: SparkSession, new_docs: DataFrame, state_path: str,
         else spark.createDataFrame([], "nid long")
     )
     dropped = vs_state.unionByName(comp_losers).distinct()
+    # persist + count dropped BEFORE write_partitioned mutates
+    # state_path: both the counter and the survivors write plan below
+    # would otherwise re-read the just-overwritten state table if any
+    # upstream cache were evicted (the write must depend only on
+    # materialized inputs: new_sigs and dropped)
+    dropped.persist()
+    n_dropped = dropped.count()
     survivors = new_sigs.join(
         dropped.select(F.col("nid").alias(id_col)), id_col, "left_anti"
     ).withColumn("crawl_id", F.lit(crawl_id))
     write_partitioned(survivors, state_path, "crawl_id")
-    n_dropped = dropped.count()
+    dropped.unpersist()
     pairs.unpersist()
     new_sigs.unpersist()
     return {

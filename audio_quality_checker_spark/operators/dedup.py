@@ -268,6 +268,20 @@ def _materialize_and_probe_dups(sigs: DataFrame, sig_expr) -> float:
     return max(0.0, 1.0 - d / n)
 
 
+def _finish_pairs(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize a (small) pair-output frame, then release the
+    build-side caches it was derived from.  Returning a lazy frame that
+    still references persisted intermediates leaks one cached DataFrame
+    per call in a long-lived session (callers never see the handles) —
+    the jaccard_pairs_guarded lifecycle, factored out.  The returned
+    frame is persisted; callers that are done with it may unpersist."""
+    out.persist()
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 128,
                       bands: int = 32, threshold: float = 0.7,
@@ -312,7 +326,7 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         ).where(F.col("est_jaccard") >= threshold)
 
     if not collapse_exact:
-        return pairs_over(sigs, id_col)
+        return _finish_pairs(pairs_over(sigs, id_col), sigs)
 
     groups = sigs.groupBy("sig").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids"),
@@ -344,7 +358,7 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             F.lit(1.0).alias("est_jaccard"),
         )
     )
-    return cross.unionByName(within)
+    return _finish_pairs(cross.unionByName(within), sigs, groups)
 
 
 # ---------------------------------------------------------------------------
@@ -440,7 +454,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         else simhash_pairs_multitable
     )
     if not collapse_exact:
-        return route(sigs, id_col, max_hamming)
+        return _finish_pairs(route(sigs, id_col, max_hamming), sigs)
     return _pairs_with_exact_collapse(sigs, id_col, max_hamming, route)
 
 
@@ -448,7 +462,8 @@ def _pairs_with_exact_collapse(sigs: DataFrame, id_col: str,
                                max_hamming: int, route) -> DataFrame:
     """Run a simhash pair search over DISTINCT signature values, then
     expand value-pairs back to document pairs and emit within-group
-    (hamming-0) pairs directly."""
+    (hamming-0) pairs directly.  Unpersists the caller-persisted `sigs`
+    once the output is materialized."""
     groups = sigs.groupBy("simhash").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
@@ -481,7 +496,7 @@ def _pairs_with_exact_collapse(sigs: DataFrame, id_col: str,
             F.lit(0).cast("int").alias("hamming"),
         )
     )
-    return cross.unionByName(within)
+    return _finish_pairs(cross.unionByName(within), sigs, groups)
 
 
 def simhash_pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id",

@@ -345,6 +345,13 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
         .select("id_a", "id_b", F.round(_cos("qv", "cv"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    # materialize the (small) pair output, then release the build-side
+    # sketch cache — returning a lazy frame that still references `sk`
+    # would leak one cached DataFrame per call in a long-lived session
+    # (the jaccard_pairs_guarded lifecycle pattern)
+    out.persist()
+    out.count()
+    sk.unpersist()
     return out
 
 
