@@ -200,6 +200,33 @@ def binary_signatures(df: DataFrame, dim: int, n_bits: int = 192,
     )
 
 
+def _partition_topm(scored: DataFrame, m: int) -> DataFrame:
+    """Per-physical-partition partial top-m: keep each query_id's m
+    smallest (hamming, neighbor_id) rows within every input partition,
+    without shuffling.  Arrow batches of one partition stream through a
+    running per-query head — memory is bounded by n_queries * m rows per
+    task, and the output is at most n_partitions * m rows per query,
+    which the exact global window then reduces to m.  The pandas sort is
+    vectorized over the whole batch (no per-row Python)."""
+    schema = scored.schema
+    cols = [f.name for f in schema.fields]
+
+    def partial(batches):
+        best = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "hamming", "neighbor_id"], kind="mergesort"
+            )
+            best = cur.groupby("query_id", sort=False).head(m)
+        if best is not None:
+            yield best[cols]
+
+    return scored.mapInPandas(partial, schema=schema)
+
+
 def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
             n_bits: int = 192, cand_frac: float = 0.08,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -233,14 +260,30 @@ def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    w_h = W.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("neighbor_id")
-    )
-    cand = (
+    scored_h = (
         qs.crossJoin(cs)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", hamming.alias("hamming"))
-        .withColumn("_rk", F.row_number().over(w_h))
+    )
+    # TWO-PHASE top-m: a single row_number window partitioned by
+    # query_id would hash EVERY corpus row for a query to one reducer —
+    # a per-query single-partition sort of |C| rows at 10^12 scale.
+    # Phase 1 keeps each query's top-m WITHIN each physical partition
+    # (mapInPandas — a narrow transformation, zero shuffle, bounded
+    # output of <= m rows per (partition, query)); phase 2 runs the
+    # exact window over only the <= P*m survivors.  Both phases order by
+    # (hamming, neighbor_id) — a total order — so the final candidate
+    # set is bit-identical to the single-window formulation.
+    cand = (
+        _partition_topm(scored_h, m)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.asc("hamming"), F.asc("neighbor_id")
+                )
+            ),
+        )
         .where(F.col("_rk") <= m)
         .select("query_id", "neighbor_id")
     )
@@ -285,6 +328,32 @@ def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
 # bucket-keyed equi-join + candidate verification.
 # ---------------------------------------------------------------------------
 
+def _sketch_bands(sk: DataFrame, id_col: str, n_bits: int,
+                  band_bits: int,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(_vid, band_idx, band_val [, extra...]): explode a packed sign
+    sketch into its contiguous band values — the banding shared by
+    embedding_near_dups and the cross-crawl embedding dedup state."""
+    n_words = n_bits // 64
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return sk.select(
+        F.col(id_col).alias("_vid"),
+        *extra_cols,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("sketch")[w], band_bits * i
+                    ).bitwiseAND(F.lit(mask))
+                    for w in range(n_words)
+                    for i in range(per_word)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+
+
 def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
                         n_bits: int = 128, band_bits: int = 16,
                         id_col: str = "vec_id", vec_col: str = "embedding",
@@ -298,26 +367,10 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
         raise ValueError("band_bits must divide n_bits")
     if band_bits > 32:
         raise ValueError("band_bits > 32 would overflow the band mask")
-    n_words = n_bits // 64
-    per_word = 64 // band_bits
-    mask = (1 << band_bits) - 1
     sk = binary_signatures(df, dim, n_bits, id_col, vec_col, seed)
     sk.persist()
     sk.count()  # the banding join references the sketch frame twice
-    banded = sk.select(
-        F.col(id_col).alias("_vid"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(
-                        F.col("sketch")[w], band_bits * i
-                    ).bitwiseAND(F.lit(mask))
-                    for w in range(n_words)
-                    for i in range(per_word)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
+    banded = _sketch_bands(sk, id_col, n_bits, band_bits)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -158,4 +158,51 @@ def test_guarded_routes_filter_above_block_count(spark):
     out = jaccard_pairs_guarded(df, threshold=0.5, block_cap=3)
     plan = fmt(out)
     assert "blk_n" in plan, plan
+    # block populations arrive via a BROADCAST counts dimension, not a
+    # count window over the exploded payload rows (the round-4 shape
+    # shuffled every (doc, toks) row twice just to learn its bucket
+    # size)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
     out.unpersist()
+
+
+def test_bq_topk_candidate_cut_is_two_phase(spark):
+    """The hamming top-m prefilter must not funnel a query's full corpus
+    through one reducer: the partial top-m (MapInPandas) runs with ZERO
+    shuffle below it, and the one hashpartitioning(query_id) Exchange in
+    the candidate stage sits ABOVE the partial cut, where it sees at
+    most P*m survivors per query instead of |C|."""
+    import numpy as np
+
+    from audio_quality_checker_spark.operators.similarity import (
+        _partition_topm,
+        binary_signatures,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(64)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = binary_signatures(vecs.limit(4), 16, 64).select(
+        F.col("vec_id").alias("query_id"), F.col("sketch").alias("qsk")
+    )
+    cs = binary_signatures(vecs, 16, 64).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sketch").alias("csk")
+    )
+    hamming = F.aggregate(
+        F.zip_with("qsk", "csk", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qs.crossJoin(cs)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", hamming.alias("hamming"))
+    )
+    partial = _partition_topm(scored, 8)
+    plan = fmt(partial)
+    assert "MapInPandas" in plan, plan
+    # phase 1 is narrow: no hash-shuffle anywhere below/at the partial cut
+    # (the cross join's BroadcastExchange is fine — it ships the tiny
+    # query side, not the corpus)
+    assert "hashpartitioning" not in plan, plan
