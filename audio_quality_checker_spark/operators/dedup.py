@@ -24,6 +24,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from audio_quality_checker_spark.functions.hashing import splitmix64
 
@@ -124,12 +131,18 @@ def _row_starts(lens: np.ndarray) -> np.ndarray:
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 128,
                        shingle_k: int = 5,
-                       shingle_mode: str = "word") -> DataFrame:
-    """(id, sig array<bigint>): n_hashes-permutation MinHash signature.
+                       shingle_mode: str = "word",
+                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, sig array<bigint>[, *extra_cols]): n_hashes-permutation
+    MinHash signature.
 
     Shingle hashing happens JVM-side (xxhash64); the "permutations" are
     splitmix64(shingle_hash XOR seed_i), reduced with one
     np.minimum.reduceat over the whole Arrow batch — no per-row Python.
+
+    `extra_cols` ride through the Arrow batch unchanged — callers that
+    need per-doc metadata next to the signature (the guarded surface's
+    block keys) avoid a join-back against a 1 KB/row signature frame.
     """
     seeds = splitmix64(
         np.arange(1, n_hashes + 1, dtype=np.uint64) * _SEED_BASE
@@ -157,17 +170,26 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                         m = splitmix64(all_h ^ seeds[j])
                         res[j] = np.minimum.reduceat(m, starts)
                 out[nz] = res.T.view(np.int64)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "sig": [r.tolist() for r in out]}
-            )
+            cols = {id_col: pdf[id_col], "sig": [r.tolist() for r in out]}
+            for c in extra_cols:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
     staged = _widen(
-        df.select(id_col, text_col)
+        df.select(id_col, text_col, *extra_cols)
     ).select(
         id_col,
+        *extra_cols,
         _shingle_hash_col(text_col, shingle_k, shingle_mode).alias("sh"),
     )
-    return staged.mapInPandas(compute, schema=f"{id_col} long, sig array<bigint>")
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
+        + [df.schema[c] for c in extra_cols]
+    )
+    return staged.mapInPandas(compute, schema=out_schema)
 
 
 def _banded_sigs(sigs: DataFrame, id_col: str, bands: int, n_hashes: int,
@@ -674,11 +696,14 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     """(id_a, id_b, jaccard): token-set Jaccard pairs >= threshold.
 
     Blocks on (lang, length-bucket) with ADJACENT-BUCKET PROBING: every
-    doc is emitted into its own bucket floor(len/100) AND the next one,
+    doc is considered in its own bucket floor(len/100) AND the next one,
     so near-identical docs straddling a bucket boundary (len 199 vs 201)
     still share a block — the round-3 recall hole at bucket edges is
     closed.  The pair universe is exactly {same lang, |bucket delta| <=
-    1}; the explode factor is a flat 2x.
+    1}; probed x probed row pairs are excluded (each pair is compared
+    once, in its bucket max(blk_a, blk_b)), and block populations come
+    from a broadcast (lang, bucket) counts dimension rather than a
+    count window over the exploded payload rows.
 
     Per (lang, bucket), blocks up to ``block_cap`` rows run the exact
     all-pairs compare (n^2 bounded by cap^2 per block); larger blocks
@@ -704,40 +729,107 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
         F.filter(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
                  lambda t: t != "")
     )
+    # ONE narrow tokenized projection, persisted and reused by the
+    # counts dimension, the exact route (both join sides) and the LSH
+    # verify (both join sides): tokenization is the dominant per-row
+    # cost and the round-4 shape recomputed it on every consumer.  At
+    # corpus scale this spills to disk (MEMORY_AND_DISK) — still far
+    # cheaper than four re-tokenizing scans.  Payload text is NOT
+    # cached (the round-1 30x binary-cache pathology); the signature
+    # path re-reads it from the column-pruned source scan.
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
         F.floor(F.length(text_col) / 100).alias("len_blk"),
         toks.alias("toks"),
-        F.col(text_col).alias("__text"),
     )
-    # adjacent-bucket probe: own bucket + the next one
-    probed = base.select(
-        "doc_id", "lang", "toks", "__text",
-        F.explode(
-            F.array(F.col("len_blk"), F.col("len_blk") + 1)
-        ).alias("blk"),
+    base.persist(StorageLevel.MEMORY_AND_DISK)
+    # Block-population COUNTS are a tiny (lang, bucket) dimension —
+    # aggregate them first and BROADCAST them back, instead of running a
+    # count window over the exploded payload-carrying frame (the round-4
+    # shape shuffled every (doc, toks, text) row twice just to learn its
+    # bucket size; at sf1 that window + persist was ~40% of the
+    # operator).  Probed population of bucket b = home docs of b plus
+    # docs probing up from b-1.
+    floor_counts = base.groupBy("lang", "len_blk").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    from pyspark.sql import Window as W
-
-    probed = probed.withColumn(
-        "blk_n", F.count(F.lit(1)).over(W.partitionBy("lang", "blk"))
+    blk_pop = (
+        floor_counts.select("lang", F.col("len_blk").alias("blk"), "c")
+        .unionByName(
+            floor_counts.select(
+                "lang", (F.col("len_blk") + 1).alias("blk"), "c"
+            )
+        )
+        .groupBy("lang", "blk")
+        .agg(F.sum("c").alias("blk_n"))
     )
-    probed.persist()
-    probed.count()  # eager: referenced from both routes below
+    base2 = (
+        base.join(
+            F.broadcast(
+                blk_pop.select(
+                    "lang",
+                    F.col("blk").alias("len_blk"),
+                    F.col("blk_n").alias("blk_n_home"),
+                )
+            ),
+            ["lang", "len_blk"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                blk_pop.select(
+                    "lang",
+                    (F.col("blk") - 1).alias("len_blk"),
+                    F.col("blk_n").alias("blk_n_up"),
+                )
+            ),
+            ["lang", "len_blk"],
+            "left",
+        )
+    )
 
     inter = F.size(F.array_intersect("a.toks", "b.toks"))
     union = F.size("a.toks") + F.size("b.toks") - inter
     jac = (inter / union).alias("jaccard")
 
-    # route 1: exact all-pairs inside bounded blocks
-    small = probed.where(F.col("blk_n") <= block_cap)
+    # route 1: exact all-pairs inside bounded blocks.  Each doc yields a
+    # HOME probe row (its own bucket) and an UP probe row (the next
+    # bucket) — the adjacent-bucket probe that closes the round-3 recall
+    # hole at bucket edges (len 199 vs 201).  A pair where BOTH rows are
+    # up-probes is the same pair one bucket down where both are home, so
+    # probed x probed comparisons are structurally excluded from both
+    # routes: the pair universe {same lang, |bucket delta| <= 1} is
+    # unchanged, each pair is compared in its ONE not-both-probed shared
+    # bucket max(blk_a, blk_b), and the exact-route guarantee is
+    # complete exactly when THAT bucket is within cap.
+    # A margin probe (emit the up row only near the bucket edge) was
+    # measured and REJECTED: at threshold 0.5 qualifying cross-bucket
+    # pairs do not have near-equal lengths (a 20-char margin keeps only
+    # ~18% of the adjacent cross-bucket recall on the documents corpus),
+    # so shrinking the probe would silently shrink the pair universe.
+    small = (
+        base2.where(F.col("blk_n_home") <= block_cap)
+        .select(
+            "doc_id", "lang", "toks",
+            F.col("len_blk").alias("blk"),
+            F.lit(False).alias("probed"),
+        )
+        .unionByName(
+            base2.where(F.col("blk_n_up") <= block_cap).select(
+                "doc_id", "lang", "toks",
+                (F.col("len_blk") + 1).alias("blk"),
+                F.lit(True).alias("probed"),
+            )
+        )
+    )
     a, b = small.alias("a"), small.alias("b")
     exact_pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ~(F.col("a.probed") & F.col("b.probed")),
     ).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
@@ -745,21 +837,75 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     ).where(F.col("jaccard") >= threshold)
 
     # route 2: LSH candidates for the oversized blocks, verified exactly.
-    # Signatures are built ONCE per distinct doc (a doc may have both its
-    # probe rows oversized); the block key (lang, blk) rides on the
-    # signature frame and is an exact-equality term of the candidate
-    # join — LSH only replaces the WITHIN-block all-pairs stage, never
-    # widens the pair universe.
-    big = probed.where(F.col("blk_n") > block_cap)
-    sigs = minhash_signatures(
-        big.select("doc_id", F.col("__text").alias("t"))
-        .dropDuplicates(["doc_id"]),
-        "doc_id", "t",
-    ).join(big.select("doc_id", "lang", "blk"), "doc_id")
+    # base is already one row per doc, so signatures are computed once
+    # per doc needing them (either probe bucket oversized) with the
+    # block metadata riding THROUGH the Arrow batch — no dropDuplicates
+    # payload shuffle and no join-back against the 1 KB/row signature
+    # frame (both measured costs of the round-4 shape).  The probe-row
+    # explode happens on the narrow signature frame afterwards; the
+    # block key (lang, blk) is an exact-equality term of the candidate
+    # join, so LSH only replaces the WITHIN-block all-pairs stage and
+    # never widens the pair universe.
+    text_side = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.floor(F.length(text_col) / 100).alias("len_blk"),
+        F.col(text_col).alias("__text"),
+    ).join(
+        F.broadcast(
+            blk_pop.select(
+                "lang",
+                F.col("blk").alias("len_blk"),
+                F.col("blk_n").alias("blk_n_home"),
+            )
+        ),
+        ["lang", "len_blk"],
+        "left",
+    ).join(
+        F.broadcast(
+            blk_pop.select(
+                "lang",
+                (F.col("blk") - 1).alias("len_blk"),
+                F.col("blk_n").alias("blk_n_up"),
+            )
+        ),
+        ["lang", "len_blk"],
+        "left",
+    )
+    needs_sig = text_side.where(
+        (F.col("blk_n_home") > block_cap) | (F.col("blk_n_up") > block_cap)
+    ).select("doc_id", F.col("__text").alias("t"), "lang", "len_blk")
+    # band each DOC once (not once per probe row): the bucket constraint
+    # becomes an |delta bucket| <= 1 predicate of the candidate join
+    # instead of a second exploded copy of every signature — half the
+    # rows on both sides of the banding join for the same candidate
+    # universe.  A 4-hash band collision already implies similarity, so
+    # the bucket key added almost no selectivity; dissimilar same-band
+    # collisions across distant buckets die on the range predicate.
+    doc_sigs = minhash_signatures(
+        needs_sig, "doc_id", "t", extra_cols=("lang", "len_blk")
+    )
+    sigs = _banded_sigs(
+        doc_sigs, "doc_id", 32, 128, extra_cols=("lang", "len_blk")
+    )
     sigs.persist()
-    cands = lsh_candidate_pairs(
-        sigs, "doc_id", bands=32, n_hashes=128,
-        block_cols=("lang", "blk"),
+    ca, cb = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        ca.join(
+            cb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (
+                F.abs(F.col("a.len_blk") - F.col("b.len_blk")) <= 1
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
     )
     ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
     tb = base.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
@@ -779,8 +925,8 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     )
     out.persist()
     out.count()  # materialize, then release the build-side caches
-    probed.unpersist()
     sigs.unpersist()
+    base.unpersist()
     return out
 
 

@@ -262,11 +262,14 @@ def _bounds_near_dup(spark, sf, con, rows, cols):
         blk_n[(lang, blk + 1)] += c
 
     def shared_small_bucket(a, b) -> bool:
+        # probed x probed comparisons are excluded operator-side, so a
+        # pair's ONE comparable shared bucket is max(ba, bb): the upper
+        # doc is home there and the lower doc probes up into it.  The
+        # exact-route guarantee holds iff THAT bucket is within cap.
         (la, ba, _), (lb, bb, _) = toks[a], toks[b]
         if la != lb:
             return False
-        shared = {ba, ba + 1} & {bb, bb + 1}
-        return any(blk_n[(la, s)] <= 40 for s in shared)
+        return blk_n[(la, max(ba, bb))] <= 40
 
     small_expected = set()
     items = sorted(toks.items())
