@@ -255,3 +255,163 @@ def ingest_crawl(spark: SparkSession, new_docs: DataFrame, state_path: str,
         "n_dropped": n_dropped,
         "n_survivors": n_new - n_dropped,
     }
+
+
+def dedup_against_embedding(state_sk: DataFrame, new_sk: DataFrame,
+                            vectors: DataFrame, n_bits: int = 128,
+                            band_bits: int = 16,
+                            threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, cosine): embedding-cosine near-dup pairs touching at
+    least one NEW vector — the embedding twin of `dedup_against`.  Both
+    sides are (id, sketch) frames of packed sign sketches
+    (similarity.binary_signatures — the state stores 16 bytes/vector at
+    the 128-bit default); `vectors` supplies raw embeddings for the
+    exact-cosine verify (at scale this is the corpus vector table — the
+    state never duplicates payloads, same rationale as the ANN index).
+
+    Same structural guarantee as the MinHash/SimHash twins: the banded
+    candidate join requires the left side NEW, so state x state pairs
+    cannot appear; candidate recall follows the sign-LSH band math of
+    embedding_near_dups and every emitted cosine is exact."""
+    from audio_quality_checker_spark.operators.similarity import (
+        _cos,
+        _sketch_bands,
+    )
+
+    tagged = state_sk.select(
+        F.col(id_col).alias("_id"), "sketch", F.lit(False).alias("_new")
+    ).unionByName(
+        new_sk.select(
+            F.col(id_col).alias("_id"), "sketch", F.lit(True).alias("_new")
+        )
+    )
+    tagged.persist()
+    tagged.count()  # both banding sides reference it
+    banded = _sketch_bands(
+        tagged.withColumnRenamed("_id", id_col), id_col, n_bits,
+        band_bits, extra_cols=("_new",)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & F.col("a._new")
+            & (~F.col("b._new") | (F.col("a._vid") < F.col("b._vid")))
+            & (F.col("a._vid") != F.col("b._vid")),
+        )
+        .select(
+            F.least("a._vid", "b._vid").alias("id_a"),
+            F.greatest("a._vid", "b._vid").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(_cos("qv", "cv"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    out.persist()
+    out.count()
+    tagged.unpersist()
+    return out
+
+
+def ingest_crawl_embedding(spark: SparkSession, new_vecs: DataFrame,
+                           state_path: str, crawl_id: str, dim: int,
+                           n_bits: int = 128, band_bits: int = 16,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           history_vecs: DataFrame | None = None) -> dict:
+    """Resumable embedding-dedup ingest: sketch the new crawl's vectors,
+    find near-dup pairs against the accumulated sketch state, drop new
+    vectors duplicating history (and keep one representative per
+    within-crawl cluster), append survivors' sketches under partition
+    crawl_id.  `history_vecs` supplies raw vectors for the exact verify
+    of NEW x STATE candidates (the corpus vector table; None before the
+    first crawl).  Same idempotency contract as ingest_crawl: the state
+    append is a deterministic per-partition overwrite."""
+    from audio_quality_checker_spark.operators.components import (
+        connected_components,
+    )
+    from audio_quality_checker_spark.operators.similarity import (
+        binary_signatures,
+    )
+    from audio_quality_checker_spark.sources.catalog import write_partitioned
+
+    new_sk = binary_signatures(new_vecs, dim, n_bits, id_col, vec_col)
+    new_sk.persist()
+    n_new = new_sk.count()
+
+    state = read_state(spark, state_path)
+    if state is None:
+        state = spark.createDataFrame(
+            [], f"{id_col} long, sketch array<bigint>, crawl_id string"
+        )
+    vectors = (
+        new_vecs.select(id_col, vec_col)
+        if history_vecs is None
+        else new_vecs.select(id_col, vec_col).unionByName(
+            history_vecs.select(id_col, vec_col)
+        )
+    )
+    pairs = dedup_against_embedding(
+        state, new_sk, vectors, n_bits, band_bits, threshold, id_col,
+        vec_col,
+    )  # returned persisted + materialized
+    n_pairs = pairs.count()
+
+    state_ids = state.select(F.col(id_col).alias("_sid")).distinct()
+    vs_state = (
+        pairs.select(F.col("id_a").alias("_sid"), F.col("id_b").alias("nid"))
+        .join(state_ids, "_sid")
+        .select("nid")
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("_sid"), F.col("id_a").alias("nid")
+            )
+            .join(state_ids, "_sid")
+            .select("nid")
+        )
+        .distinct()
+    )
+    new_pairs = pairs.join(
+        state_ids, pairs.id_a == state_ids._sid, "left_anti"
+    ).join(state_ids, pairs.id_b == state_ids._sid, "left_anti")
+    comp_losers = (
+        connected_components(new_pairs.select("id_a", "id_b"))
+        .where(F.col("component") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("nid"))
+        if new_pairs.limit(1).count()
+        else spark.createDataFrame([], "nid long")
+    )
+    dropped = vs_state.unionByName(comp_losers).distinct()
+    dropped.persist()
+    n_dropped = dropped.count()
+    survivors = new_sk.join(
+        dropped.select(F.col("nid").alias(id_col)), id_col, "left_anti"
+    ).withColumn("crawl_id", F.lit(crawl_id))
+    write_partitioned(survivors, state_path, "crawl_id")
+    dropped.unpersist()
+    pairs.unpersist()
+    new_sk.unpersist()
+    return {
+        "crawl_id": crawl_id,
+        "n_new_docs": n_new,
+        "n_dup_pairs": n_pairs,
+        "n_dropped": n_dropped,
+        "n_survivors": n_new - n_dropped,
+    }

@@ -132,3 +132,119 @@ def test_dedup_against_simhash(spark, crawls):
     assert got == expected
     assert (3, 1101) in got and got[(3, 1101)] == 0  # exact dup
     assert all(not (a in sigs and b in sigs) for a, b in got)
+
+
+@pytest.fixture(scope="module")
+def vec_crawls(spark):
+    """Two crawls of 24-dim embeddings: crawl 1 has an internal near-dup
+    pair (5, 105); crawl 2 has unique vectors, a near-dup of crawl-1
+    vector 7 (id 1100), an exact dup of crawl-1 vector 3 (id 1101) and
+    an internal near-dup pair (1005, 1200)."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    dim = 24
+
+    def v(i):
+        return rng.standard_normal(dim)
+
+    basev = {i: v(i) for i in range(20)}
+    basev.update({1000 + i: v(1000 + i) for i in range(10)})
+
+    def near(x):
+        n = x + 0.02 * rng.standard_normal(dim)
+        return n
+
+    c1 = [(i, basev[i].tolist()) for i in range(20)] + [
+        (105, near(basev[5]).tolist())
+    ]
+    c2 = (
+        [(1000 + i, basev[1000 + i].tolist()) for i in range(10)]
+        + [
+            (1100, near(basev[7]).tolist()),
+            (1101, basev[3].tolist()),
+            (1200, near(basev[1005]).tolist()),
+        ]
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id long, embedding array<double>"
+    )
+    return mk(c1), mk(c2), dim
+
+
+def test_dedup_against_embedding_matches_batch(spark, vec_crawls):
+    """Set equality: the incremental pair set must equal the batch
+    embedding_near_dups over the union RESTRICTED to pairs touching the
+    new crawl — and state x state pairs (5,105) must be excluded."""
+    from audio_quality_checker_spark.operators.crawl_state import (
+        dedup_against_embedding,
+    )
+    from audio_quality_checker_spark.operators.similarity import (
+        binary_signatures,
+        embedding_near_dups,
+    )
+
+    c1, c2, dim = vec_crawls
+    allv = c1.unionByName(c2)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup_against_embedding(
+            binary_signatures(c1, dim, 128),
+            binary_signatures(c2, dim, 128),
+            allv, n_bits=128, threshold=0.95,
+        ).collect()
+    }
+    c1_ids = {r["vec_id"] for r in c1.collect()}
+    batch = embedding_near_dups(allv, dim, threshold=0.95, n_bits=128)
+    expected = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in batch.collect()
+        if not (r["id_a"] in c1_ids and r["id_b"] in c1_ids)
+    }
+    batch.unpersist()
+    assert got == expected
+    assert (5, 105) not in got, "state x state pair leaked"
+    assert (7, 1100) in got and (3, 1101) in got and (1005, 1200) in got
+
+
+def test_ingest_crawl_embedding_protocol_and_resume(spark, vec_crawls,
+                                                    tmp_path):
+    """Two-crawl embedding ingest: history dups dropped, within-crawl
+    keep-one, and re-running an ingest converges to identical state."""
+    from audio_quality_checker_spark.operators.crawl_state import (
+        ingest_crawl_embedding,
+        read_state,
+    )
+
+    c1, c2, dim = vec_crawls
+    state = str(tmp_path / "emb_state")
+
+    r1 = ingest_crawl_embedding(spark, c1, state, "crawl-1", dim)
+    assert r1["n_new_docs"] == 21
+    assert r1["n_dropped"] == 1 and r1["n_survivors"] == 20
+    ids1 = {r["vec_id"] for r in read_state(spark, state).collect()}
+    assert 5 in ids1 and 105 not in ids1
+
+    r2 = ingest_crawl_embedding(
+        spark, c2, state, "crawl-2", dim, history_vecs=c1
+    )
+    assert r2["n_new_docs"] == 13
+    assert r2["n_dropped"] == 3 and r2["n_survivors"] == 10
+    ids = {r["vec_id"] for r in read_state(spark, state).collect()}
+    assert {1100, 1101, 1200}.isdisjoint(ids)
+    assert 1005 in ids
+
+    # crash-recovery: re-ingesting crawl-2 must not change the state
+    before = sorted(
+        (r["vec_id"], r["crawl_id"], tuple(r["sketch"]))
+        for r in read_state(spark, state).collect()
+    )
+    r2b = ingest_crawl_embedding(
+        spark, c2, state, "crawl-2", dim, history_vecs=c1
+    )
+    after = sorted(
+        (r["vec_id"], r["crawl_id"], tuple(r["sketch"]))
+        for r in read_state(spark, state).collect()
+    )
+    assert before == after
+    assert r2b["n_survivors"] == r2["n_survivors"]
