@@ -8,10 +8,23 @@ table (24 bytes/vector) and the IVF assignment (12 bytes/vector) are
 built once and reused by every query batch, which then only sketches /
 assigns ITSELF.  This module persists exactly those artifacts:
 
-    {path}/meta/        one row: dim, n_bits, n_lists, seed, n_vectors
-    {path}/sketches/    (vec_id, sketch array<bigint>)   BQ prefilter
-    {path}/assign/      (vec_id, list_id)                IVF routing
+    {path}/meta/        one row: dim, n_bits, n_lists, seed
+    {path}/sketches/    (vec_id, sketch, crawl_id)       BQ prefilter
+    {path}/assign/      (vec_id, list_id, crawl_id)      IVF routing
     {path}/centroids/   (list_id, centroid array<double>)
+    {path}/counts/      (crawl_id, n)   per-crawl vector counts
+
+The corpus-side tables are partitioned by crawl_id so a NEW crawl can
+be appended incrementally (`append_to_index`): only the new vectors
+are sketched/assigned, written under their own partition with the
+same deterministic partition-overwrite idempotency as
+operators/crawl_state.ingest_crawl.  Centroids are FROZEN at build
+time — BQ results over an appended index are bit-identical to a full
+rebuild on the union (sketches are per-vector and seed-deterministic),
+while IVF results are identical to a rebuild that reuses the original
+centroids: appending shifts the true k-means optimum, a documented
+staleness dial (re-run build_index to retrain when the appended
+fraction grows large).
 
 Everything is written through Spark (HDFS/S3-safe, no driver-local
 filesystem assumptions — the plans/lineage.py rationale); centroids
@@ -50,6 +63,40 @@ class ANNIndex:
     centroids: np.ndarray
 
 
+BASE_CRAWL = "__base__"
+
+
+def _write_corpus_tables(corpus: DataFrame, path: str, crawl_id: str,
+                         dim: int, n_bits: int,
+                         centroids: np.ndarray, id_col: str,
+                         vec_col: str, seed: int,
+                         n_vectors: int) -> None:
+    """Sketch + assign `corpus` and write all three corpus-side tables
+    under partition `crawl_id` (deterministic partition overwrite — a
+    crashed or repeated write of the same crawl converges)."""
+    from audio_quality_checker_spark.sources.catalog import (
+        write_partitioned,
+    )
+
+    spark = corpus.sparkSession
+    tag = F.lit(crawl_id).alias("crawl_id")
+    write_partitioned(
+        binary_signatures(corpus, dim, n_bits, id_col, vec_col, seed)
+        .select(id_col, "sketch", tag),
+        f"{path}/sketches", "crawl_id",
+    )
+    write_partitioned(
+        ivf_assign(corpus, centroids, 1, id_col, vec_col, id_col)
+        .withColumn("crawl_id", F.lit(crawl_id)),
+        f"{path}/assign", "crawl_id",
+    )
+    write_partitioned(
+        spark.createDataFrame([(crawl_id, n_vectors)],
+                              "crawl_id string, n long"),
+        f"{path}/counts", "crawl_id",
+    )
+
+
 def build_index(corpus: DataFrame, path: str, dim: int,
                 n_bits: int = 192, n_lists: int = 16, seed: int = 42,
                 id_col: str = "vec_id",
@@ -61,21 +108,40 @@ def build_index(corpus: DataFrame, path: str, dim: int,
     n_vectors = corpus.count()
     cents = train_centroids(corpus, dim, n_lists, seed=seed,
                             vec_col=vec_col, id_col=id_col)
-    binary_signatures(corpus, dim, n_bits, id_col, vec_col, seed).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/sketches")
-    ivf_assign(corpus, cents, 1, id_col, vec_col, id_col).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/assign")
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame(
-        [(dim, n_bits, n_lists, seed, n_vectors)],
-        "dim int, n_bits int, n_lists int, seed long, n_vectors long",
+        [(dim, n_bits, n_lists, seed)],
+        "dim int, n_bits int, n_lists int, seed long",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_corpus_tables(corpus, path, BASE_CRAWL, dim, n_bits, cents,
+                         id_col, vec_col, seed, n_vectors)
     return load_index(spark, path)
+
+
+def append_to_index(new_corpus: DataFrame, index: ANNIndex,
+                    crawl_id: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> ANNIndex:
+    """Append a new crawl's vectors to a persisted index: ONLY the new
+    vectors are sketched (seed/planes pinned by the index meta) and
+    assigned (against the FROZEN stored centroids), then written under
+    their own crawl partition — the index-side twin of
+    crawl_state.ingest_crawl, linear in the new crawl's size.  BQ
+    queries over the appended index are bit-identical to a full rebuild
+    on the union; IVF queries are identical to a rebuild reusing the
+    build-time centroids (see module docstring for the staleness
+    trade).  Re-appending the same crawl_id overwrites its partitions
+    with identical content (resume-safe)."""
+    if crawl_id == BASE_CRAWL:
+        raise ValueError(f"crawl_id {BASE_CRAWL!r} is reserved")
+    n_new = new_corpus.count()
+    _write_corpus_tables(
+        new_corpus, index.path, crawl_id, index.dim, index.n_bits,
+        index.centroids, id_col, vec_col, index.seed, n_new,
+    )
+    return load_index(new_corpus.sparkSession, index.path)
 
 
 def load_index(spark: SparkSession, path: str) -> ANNIndex:
@@ -85,13 +151,16 @@ def load_index(spark: SparkSession, path: str) -> ANNIndex:
     ).collect()
     centroids = np.array([r["centroid"] for r in cent_rows],
                          dtype=np.float64)
+    n_vectors = sum(
+        r["n"] for r in spark.read.parquet(f"{path}/counts").collect()
+    )
     return ANNIndex(
         path=path,
         dim=meta["dim"],
         n_bits=meta["n_bits"],
         n_lists=meta["n_lists"],
         seed=meta["seed"],
-        n_vectors=meta["n_vectors"],
+        n_vectors=n_vectors,
         sketches=spark.read.parquet(f"{path}/sketches"),
         assign=spark.read.parquet(f"{path}/assign"),
         centroids=centroids,

@@ -250,3 +250,63 @@ def test_persistent_index_matches_direct_operators(spark, vectors, tmp_path):
         for r in index_topk(queries, df, idx2, k=3, method="ivf").collect()
     }
     assert indexed_ivf == direct_ivf
+
+
+def test_index_append_matches_rebuild(spark, vectors, tmp_path):
+    """Incremental append: queries over (base + appended crawl) must be
+    bit-identical to a full rebuild on the union for the BQ method, and
+    to the direct IVF operator given the same (frozen) centroids.
+    Re-appending the same crawl_id must be a no-op by value."""
+    from audio_quality_checker_spark.operators.similarity import ivf_topk
+    from audio_quality_checker_spark.operators.similarity_index import (
+        append_to_index,
+        build_index,
+        index_topk,
+        load_index,
+    )
+
+    df, _ = vectors
+    base = df.where(F.col("vec_id") < 250)
+    crawl = df.where(F.col("vec_id") >= 250)
+    queries = df.where(F.col("vec_id") >= 500)
+
+    idx = build_index(base, str(tmp_path / "inc"), dim=DIM, n_lists=8)
+    idx = append_to_index(crawl, idx, "crawl-1")
+    assert idx.n_vectors == 310
+
+    full = build_index(df, str(tmp_path / "full"), dim=DIM, n_lists=8)
+    res_inc = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in index_topk(queries, df, idx, k=3, method="bq").collect()
+    }
+    res_full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in index_topk(queries, df, full, k=3, method="bq").collect()
+    }
+    assert res_inc == res_full and len(res_inc) == 30
+
+    # IVF with the FROZEN base centroids: identical to the direct
+    # operator given those centroids (the documented staleness dial —
+    # a retrained rebuild may differ)
+    res_ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in index_topk(queries, df, idx, k=3, method="ivf").collect()
+    }
+    direct = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(queries, df, DIM, k=3, n_lists=8,
+                          centroids=idx.centroids).collect()
+    }
+    assert res_ivf == direct
+
+    # resume-safety: re-append overwrites with identical content
+    before = sorted(
+        (r["vec_id"], r["crawl_id"], tuple(r["sketch"]))
+        for r in idx.sketches.collect()
+    )
+    idx2 = append_to_index(crawl, idx, "crawl-1")
+    after = sorted(
+        (r["vec_id"], r["crawl_id"], tuple(r["sketch"]))
+        for r in idx2.sketches.collect()
+    )
+    assert before == after and idx2.n_vectors == 310
