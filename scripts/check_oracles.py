@@ -368,19 +368,43 @@ def _bounds_incremental(spark, sf, con, rows, cols):
     return problems
 
 
+def _oracle_bpe_encode_len(word_bytes: bytes,
+                           merges: list[tuple[int, int]]) -> int:
+    """INDEPENDENT reference encoder — deliberately a different
+    algorithm from the engine's encode_len (which scans for the
+    lowest-rank adjacent pair each round): apply the merges one rank at
+    a time in learned order, replacing every occurrence left-to-right
+    before moving to the next rank.  The two are equivalent because a
+    merge at rank r can only create pairs containing the new id 256+r,
+    whose rank is necessarily > r — so by the time rank r is applied,
+    every lower-rank pair that will ever exist has been consumed.  An
+    encoding bug in either implementation breaks the equality gate."""
+    w = list(word_bytes)
+    for rank, (a, b) in enumerate(merges):
+        i, out = 0, []
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                out.append(256 + rank)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        w = out
+    return len(w)
+
+
 def _bounds_bpe(spark, sf, con, rows, cols):
-    """Exact per-lang equality with a pure-Python reference encoder
-    applying the SAME (deterministically retrained) merge list to every
-    document — validates both the distributed memoized encoding and the
-    training determinism."""
-    from audio_quality_checker_spark.functions.bpe import (
-        encode_len,
-        train_bpe,
-    )
+    """Exact per-lang equality with an INDEPENDENT pure-Python
+    reference encoder (_oracle_bpe_encode_len — rank-ordered
+    application, a different algorithm from the engine's
+    lowest-rank-first scan) applying the same deterministically
+    retrained merge list to every document — validates the encoder
+    itself, the distributed memoized encoding, and the training
+    determinism."""
+    from audio_quality_checker_spark.functions.bpe import train_bpe
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
     merges = train_bpe(d, vocab_size=384, sample_cap=2_000)
-    ranks = {p: i for i, p in enumerate(merges)}
     texts = con.execute(
         "SELECT lang, text FROM documents"
     ).fetchall()
@@ -390,7 +414,7 @@ def _bounds_bpe(spark, sf, con, rows, cols):
         total = 0
         for w in (t or "").split():
             if w not in memo:
-                memo[w] = encode_len(w.encode("utf-8"), ranks)
+                memo[w] = _oracle_bpe_encode_len(w.encode("utf-8"), merges)
             total += memo[w]
         e = expected.setdefault(lang, [0, 0])
         e[0] += total

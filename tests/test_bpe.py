@@ -79,3 +79,79 @@ def test_tiktoken_path_when_available(spark, corpus):
 
     out = tiktoken_counts(corpus).collect()
     assert all(r["bpe_tokens"] >= 0 for r in out)
+
+
+def test_vectorized_encoder_equals_scan_encoder(spark, corpus):
+    """encode_len_vectorized (rank-ordered numpy) must agree with
+    encode_len (lowest-rank-first scan) on random byte strings,
+    including same-byte runs that exercise overlap resolution."""
+    import random
+
+    from audio_quality_checker_spark.functions.bpe import (
+        encode_len,
+        encode_len_vectorized,
+        train_bpe,
+    )
+
+    merges = train_bpe(corpus, vocab_size=320)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rng = random.Random(7)
+    cases = [
+        bytes(rng.choices(range(256), k=n))
+        for n in [0, 1, 2, 7, 33, 120, 500]
+    ]
+    # stress overlap: long runs of a single byte and ab repeats
+    cases += [b"a" * 40, b"ab" * 60, b"aab" * 50,
+              "ascii and 中文混合".encode("utf-8") * 20]
+    for wb in cases:
+        assert encode_len_vectorized(wb, merges) == encode_len(wb, ranks), wb
+
+
+def test_unsegmented_script_docs_stay_exact_and_fast(spark):
+    """A large zh-style unsegmented document is ONE whitespace word —
+    the round-4 scan loop was O(len * merges) Python with a guaranteed
+    memo miss.  The vectorized route must stay exact (vs the scan
+    encoder on a truncated prefix where the scan is affordable) and
+    encode a 100 KB document in bounded time."""
+    import time
+
+    from audio_quality_checker_spark.functions.bpe import (
+        bpe_token_counts,
+        encode_len,
+        encode_len_vectorized,
+        train_bpe,
+    )
+
+    rng = __import__("random").Random(3)
+    cjk = "".join(
+        rng.choice("中文处理测试文档")
+        for _ in range(40_000)
+    )  # ~120 KB utf-8, zero whitespace
+    en = " ".join(f"tok{i % 97}" for i in range(2_000))
+    docs = spark.createDataFrame(
+        [(0, cjk), (1, en), (2, cjk[:300])],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, vocab_size=320)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # exactness on an affordable prefix: both encoders agree
+    prefix = cjk[:300].encode("utf-8")
+    assert encode_len_vectorized(prefix, merges) == encode_len(prefix, ranks)
+
+    t0 = time.time()
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    wall = time.time() - t0
+    assert got[2] == encode_len(prefix, ranks)
+    assert got[0] > 0 and got[1] > 0
+    # driver-side direct encode of the full doc for exactness
+    assert got[0] == encode_len_vectorized(cjk.encode("utf-8"), merges)
+    # the whole 3-doc job (Spark overhead included) must be seconds,
+    # not the minutes the scan loop takes on 120 KB
+    assert wall < 30, wall
+    t1 = time.time()
+    encode_len_vectorized(cjk.encode("utf-8"), merges)
+    assert time.time() - t1 < 1.0  # ~10 ms expected
