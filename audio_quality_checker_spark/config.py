@@ -39,6 +39,9 @@ class CheckSuite:
     check_repetition: bool = False       # Gopher-style within-doc
     # repetition gate (dup-line fraction) — an LLM-training-data filter,
     # not a reference check, so opt-in
+    check_near_dup: bool = False         # cross-doc near-dup rate per
+    # partition (guarded MinHash surface) — template-spam crawl slices;
+    # pair search over the corpus, so opt-in like check_repetition
 
     # ---- thresholds (detector.rs:153-159 analog) ----
     max_null_rate: float = 0.05          # per column
@@ -58,6 +61,9 @@ class CheckSuite:
     max_trend_shift: float = 0.5         # stddev-normalized drift across window
     max_doc_dup_line_frac: float = 0.30  # a doc above this is "repetitive"
     max_repetitive_doc_rate: float = 0.05  # partition gate on such docs
+    near_dup_jaccard: float = 0.7        # pair threshold for check_near_dup
+    max_near_dup_doc_rate: float = 0.05  # partition gate: fraction of docs
+    # that are members of at least one within-partition near-dup pair
     ks_sample_fraction: float = 0.10     # sample for the exact-KS oracle
     # below this sampled-row floor the exact-KS statistic is noise (the
     # two-sample critical value 1.36*sqrt(1/n+1/m) exceeds max_ks_stat

@@ -243,3 +243,74 @@ def repetition_violations(features, suite):
             {"repetitive_doc_rate": rate, "avg_dup_line_frac": F.col("avg_dlf")},
         )
     ).where(F.col("confidence") > 0)
+
+
+def near_dup_violations(pages, suite):
+    """Opt-in (``suite.check_near_dup``) cross-document near-dup gate:
+    flag a partition when too many of its documents have a near-
+    duplicate WITHIN the partition (template-spam / mirrored crawl
+    slices).  Pairs come from the guarded hybrid surface
+    (dedup.jaccard_pairs_guarded) with the partition key folded into
+    the blocking key, so pair search never crosses partitions and the
+    block-cap guardrail applies per (partition, lang, bucket) — the
+    reference composes every enabled check into one verdict
+    (detector.rs:360-371); this brings the corpus-dedup family into
+    that composition as a first-class violation type."""
+    from pyspark.sql import functions as F
+
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+    from audio_quality_checker_spark.operators.schema import (
+        graded_confidence,
+        violation_row,
+    )
+
+    d = pages.select(
+        # partition-qualified id: the same url can legitimately recur in
+        # several crawl days, and the membership join below must not
+        # smear one day's dup-membership onto another's rows
+        F.xxhash64("p_day", "url").alias("doc_id"),
+        F.concat_ws(
+            "|", F.col("p_day"), F.coalesce(F.col("lang"), F.lit(""))
+        ).alias("blk_key"),
+        F.col("p_day"),
+        F.col("text"),
+    )
+    pairs = jaccard_pairs_guarded(
+        d, id_col="doc_id", text_col="text", lang_col="blk_key",
+        threshold=suite.near_dup_jaccard,
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    dup_docs = (
+        d.join(members, "doc_id")
+        .groupBy("p_day")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    totals = d.groupBy("p_day").agg(F.count(F.lit(1)).alias("n_rows"))
+    per_part = totals.join(dup_docs, "p_day", "left").select(
+        "p_day", "n_rows",
+        F.coalesce(F.col("n_dup_docs"), F.lit(0)).alias("n_dup_docs"),
+    )
+    pairs.unpersist()
+    rate = F.col("n_dup_docs") / F.col("n_rows")
+    return per_part.select(
+        *violation_row(
+            F.col("p_day"),
+            "NearDuplicationAnomaly",
+            "text",
+            graded_confidence(rate, suite.max_near_dup_doc_rate),
+            F.format_string(
+                "%.4f of docs have a near-duplicate (jaccard >= %.2f) "
+                "in this partition (%d of %d)",
+                rate, F.lit(suite.near_dup_jaccard),
+                F.col("n_dup_docs"), F.col("n_rows"),
+            ),
+            {"near_dup_doc_rate": rate,
+             "n_near_dup_docs": F.col("n_dup_docs")},
+        )
+    ).where(F.col("confidence") > 0)

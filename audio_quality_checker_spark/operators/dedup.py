@@ -791,7 +791,9 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
 
     inter = F.size(F.array_intersect("a.toks", "b.toks"))
     union = F.size("a.toks") + F.size("b.toks") - inter
-    jac = (inter / union).alias("jaccard")
+    # empty-token docs (whitespace-only text) give union 0: no defined
+    # similarity, and ANSI mode makes the bare division a hard error
+    jac = F.when(union > 0, inter / union).alias("jaccard")
 
     # route 1: exact all-pairs inside bounded blocks.  Each doc yields a
     # HOME probe row (its own bucket) and an UP probe row (the next
@@ -913,7 +915,10 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     union2 = F.size("ta") + F.size("tb") - inter2
     lsh_pairs = (
         cands.join(ta, "id_a").join(tb, "id_b")
-        .select("id_a", "id_b", (inter2 / union2).alias("jaccard"))
+        .select(
+            "id_a", "id_b",
+            F.when(union2 > 0, inter2 / union2).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
     # per-pair dedup: the same pair can arrive from two shared buckets

@@ -232,6 +232,18 @@ def run_checks(
         # same pattern as the sampled extraction check below.
         rep_src = features if features is not None else with_partition_key(pages)
         frames.append(repetition_violations(rep_src, suite))
+    if suite.check_near_dup:
+        from audio_quality_checker_spark.operators.column_stats import (
+            near_dup_violations,
+        )
+        from audio_quality_checker_spark.operators.stats import (
+            with_partition_key,
+        )
+
+        # pair search reads (url, p_day, lang, text) from the source
+        # scan in both modes — the guarded surface tokenizes and blocks
+        # internally, so neither cached frame helps it
+        frames.append(near_dup_violations(with_partition_key(pages), suite))
     if suite.check_extraction and not fused:
         # sampled mode: the only payload consumer reads html+text from the
         # SOURCE scan (column-pruned), not from the cache

@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     ap.add_argument("--repetition", action="store_true",
                     help="opt-in within-doc repetition gate (dup-line "
                          "fraction; RepetitionAnomaly violations)")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="opt-in cross-doc near-dup rate gate (guarded "
+                         "MinHash pair surface per partition; "
+                         "NearDuplicationAnomaly violations)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -43,6 +47,8 @@ def main(argv=None) -> int:
     suite = QUICK if args.quick else (FULL if args.full else CheckSuite())
     if args.repetition:
         suite = dataclasses.replace(suite, check_repetition=True)
+    if args.near_dup:
+        suite = dataclasses.replace(suite, check_near_dup=True)
     spark = get_spark(app_name="aqcs-validate", cores=args.cores)
     t0 = time.time()
     res = validate(

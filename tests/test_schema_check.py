@@ -197,3 +197,66 @@ def test_repetition_check_fused_mode(spark):
     res.unpersist()
     assert ("2025-11-02", "RepetitionAnomaly") in v
     assert ("2025-11-01", "RepetitionAnomaly") not in v
+
+
+def test_near_dup_check_opt_in_flips_verdict(spark):
+    """check_near_dup (opt-in): a partition where most docs are
+    near-copies of each other flips to FAIL with NearDuplicationAnomaly;
+    a clean partition stays PASS, and the default suite never runs the
+    pair search."""
+    import pandas as pd
+
+    from audio_quality_checker_spark.config import CheckSuite
+    from audio_quality_checker_spark.plans.validate import run_checks
+    from audio_quality_checker_spark.sources.pages import gen_pages_pdf
+
+    pdf = gen_pages_pdf(40, categories=["Control_Clean"])
+    pdf["p_day"] = "2025-11-01"
+    # the generator's synthetic prose is itself template-heavy, which is
+    # exactly what this gate detects — give the CLEAN partition
+    # genuinely distinct token sets so it stays below the rate gate
+    pdf["text"] = [
+        " ".join(f"doc{i}w{j}" for j in range(40)) for i in range(len(pdf))
+    ]
+    dup = gen_pages_pdf(40, categories=["Control_Clean"])
+    dup["p_day"] = "2025-11-02"
+    dup["text"] = [
+        " ".join(f"dup{i}w{j}" for j in range(40))
+        for i in range(len(dup))
+    ]
+    # 60% of docs: near-copies of one template (small suffix variation)
+    tmpl = "the quick template body " * 30
+    n = int(len(dup) * 0.6)
+    dup.loc[dup.index[:n], "text"] = [
+        tmpl + f"variant token{i}" for i in range(n)
+    ]
+    pages = spark.createDataFrame(pd.concat([pdf, dup]))
+
+    suite = CheckSuite(
+        check_schema=False, check_uniqueness=False,
+        check_referential=False, check_drift=False,
+        check_extraction=False, check_near_dup=True,
+    )
+    res = run_checks(spark, pages, None, None, suite)
+    v = {
+        (r["partition_key"], r["violation_type"])
+        for r in res.violations.collect()
+    }
+    verdicts = {r["partition_key"]: r["passed"] for r in res.verdicts.collect()}
+    res.unpersist()
+    assert ("2025-11-02", "NearDuplicationAnomaly") in v
+    assert ("2025-11-01", "NearDuplicationAnomaly") not in v
+    assert verdicts["2025-11-02"] is False
+    assert verdicts["2025-11-01"] is True
+
+    # default suite: the check never runs, verdicts unchanged
+    res2 = run_checks(spark, pages, None, None, CheckSuite(
+        check_schema=False, check_uniqueness=False,
+        check_referential=False, check_drift=False,
+        check_extraction=False,
+    ))
+    assert not any(
+        r["violation_type"] == "NearDuplicationAnomaly"
+        for r in res2.violations.collect()
+    )
+    res2.unpersist()
