@@ -1005,6 +1005,44 @@ def q_embedding_dedup(spark, sf):
     return embedding_near_dups(allv, dim=64, threshold=0.98)
 
 
+def q_embedding_dedup_incremental(spark, sf):
+    """Cross-crawl incremental EMBEDDING dedup
+    (operators/crawl_state.dedup_against_embedding): even vec_ids play
+    the stored prior-crawl sketch state, odd vec_ids (plus planted
+    near-dups, id-shifted by 1_000_001 so each planted pair straddles
+    the parity split) the incoming crawl.  The banded candidate join
+    requires the left side NEW — state x state pairs are structurally
+    excluded — and every emitted cosine is exact.  Bounds gate: set
+    equality with a numpy brute force over the same construction,
+    restricted to pairs touching the new crawl."""
+    from audio_quality_checker_spark.operators.crawl_state import (
+        dedup_against_embedding,
+    )
+    from audio_quality_checker_spark.operators.similarity import (
+        binary_signatures,
+    )
+
+    e = load(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * 1.2 + 0.05).otherwise(x),
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(pert)
+    state_v = allv.where(F.col("vec_id") % 2 == 0)
+    new_v = allv.where(F.col("vec_id") % 2 == 1)
+    return dedup_against_embedding(
+        binary_signatures(state_v, 64, 128),
+        binary_signatures(new_v, 64, 128),
+        allv, n_bits=128, threshold=0.98,
+    )
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN, the kNN scale path.  n_probe/n_lists is the recall dial
     (measured here: 3/8 -> 0.68, 4/8 -> 0.79, 5/8 -> 0.90 recall@5); at
@@ -1633,6 +1671,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_dedup": (q_simhash_dedup, None),
     "ann_topk": (q_ann_topk, None),
     "embedding_dedup": (q_embedding_dedup, None),
+    "embedding_dedup_incremental": (q_embedding_dedup_incremental, None),
     "ivf_topk": (q_ivf_topk, None),
     "brute_topk": (q_brute_topk, SQL_BRUTE_TOPK),
     "kll_quantiles": (q_kll_quantiles, None),

@@ -478,6 +478,49 @@ def _bounds_embed(spark, sf, con, rows, cols):
     return problems
 
 
+def _bounds_embed_incremental(spark, sf, con, rows, cols):
+    """Set equality (ids AND rounded cosines) with a numpy brute force
+    over q_embedding_dedup_incremental's construction, restricted to
+    pairs touching the NEW (odd-id) side — the incremental operator
+    must find exactly the batch pairs that involve the incoming crawl
+    and never re-emit state x state pairs."""
+    import numpy as np
+
+    vec_rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in vec_rows]
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in vec_rows])
+    pert_ids = [i + 1_000_001 for i in ids if i < 50]
+    pert = mat[[i for i, v in enumerate(ids) if v < 50]].copy()
+    pert[:, 0] = pert[:, 0] * 1.2 + 0.05
+    all_ids = np.array(ids + pert_ids)
+    all_mat = np.vstack([mat, pert])
+    n = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
+    cos = n @ n.T
+    ia, ib = np.where(np.triu(cos >= 0.98, k=1))
+    expected = {}
+    for a, b in zip(ia, ib):
+        x, y = int(all_ids[a]), int(all_ids[b])
+        if x % 2 == 0 and y % 2 == 0:
+            continue  # state x state: structurally excluded
+        expected[(min(x, y), max(x, y))] = float(cos[a, b])
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {(r[idx["id_a"]], r[idx["id_b"]]): r[idx["cosine"]] for r in rows}
+    problems = []
+    if set(got) != set(expected):
+        problems.append(
+            f"new-touching pair set != brute force: missing "
+            f"{len(set(expected) - set(got))}, spurious "
+            f"{len(set(got) - set(expected))}"
+        )
+    else:
+        off = [p for p in got if abs(got[p] - expected[p]) > 1e-6]
+        if off:
+            problems.append(f"{len(off)} cosines off by >1e-6: {off[:3]}")
+    return problems
+
+
 BOUNDS = {
     "kll_quantiles": _bounds_kll,
     "tdigest_quantiles": _bounds_kll,
@@ -490,6 +533,7 @@ BOUNDS = {
     "dedup_incremental": _bounds_incremental,
     "token_budget_bpe": _bounds_bpe,
     "embedding_dedup": _bounds_embed,
+    "embedding_dedup_incremental": _bounds_embed_incremental,
 }
 
 
