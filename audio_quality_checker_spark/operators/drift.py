@@ -46,15 +46,30 @@ def drift_metrics(dist: DataFrame, baseline: DataFrame) -> DataFrame:
         F.col("count").alias("o_count"), F.col("total").alias("o_total"),
     )
 
-    # bin universe per (p_day, column): union of observed and baseline bins,
-    # so mass that vanished (baseline-only bins) still contributes drift
+    # bin universe per (p_day, column): THAT day's observed bins union
+    # the baseline bins — so mass that vanished (baseline-only bins)
+    # still contributes drift, while another partition's exotic bins do
+    # NOT leak into this day's smoothing denominator.  The per-day
+    # universe is what makes a day's PSI/KS invariant to WHICH other
+    # partitions share the run — the resume contract (a crash-redo of
+    # one partition must reproduce its numbers bit-identically whether
+    # it runs alone or with the full table; caught by the round-5 sf1
+    # kill/resume drive, where the 3-day redo shifted day 14's PSI from
+    # 0.4024 to 0.4012 under the old cross-partition universe).
     pdays = obs.select("p_day", "column_name", "o_total").distinct()
-    bins = (
-        obs.select("column_name", "bin")
-        .union(base.select("column_name", "bin"))
+    univ = (
+        obs.select("p_day", "column_name", "bin")
+        .unionByName(
+            pdays.select("p_day", "column_name")
+            .distinct()
+            .join(
+                F.broadcast(base.select("column_name", "bin").distinct()),
+                "column_name",
+            )
+        )
         .distinct()
+        .join(pdays, ["p_day", "column_name"])
     )
-    univ = pdays.join(F.broadcast(bins), "column_name")
     j = (
         univ.join(obs, ["p_day", "column_name", "bin", "o_total"], "left")
         .join(F.broadcast(base), ["column_name", "bin"], "left")
@@ -127,15 +142,14 @@ def drift_metrics_driver(dist: DataFrame, baseline: DataFrame):
 
     len_order = {lbl: i for i, lbl in enumerate(LEN_BIN_LABELS)}
     out = []
-    # bin universe per column: union of observed and baseline bins across
-    # all partitions (mirrors the distributed `bins` union-distinct)
-    col_bins: dict[str, set] = {}
-    for (_, col), counts in obs.items():
-        col_bins.setdefault(col, set()).update(counts)
-    for col, counts in base.items():
-        col_bins.setdefault(col, set()).update(counts)
+    # bin universe per (p_day, column): the day's own observed bins union
+    # the baseline bins (mirrors the distributed per-day universe; see
+    # drift_metrics — cross-partition bins must not change a day's
+    # smoothing, or a resumed redo of one partition reproduces different
+    # numbers than the original full run)
     for (p_day, col), counts in sorted(obs.items()):
-        bins = sorted(col_bins[col], key=lambda b: (len_order.get(b, -1), b))
+        universe = set(counts) | set(base.get(col, {}))
+        bins = sorted(universe, key=lambda b: (len_order.get(b, -1), b))
         p = np.array(
             [counts.get(b, 0) for b in bins], dtype=np.float64
         )
@@ -312,11 +326,26 @@ def exact_ks_violations(features: DataFrame, baseline: DataFrame,
     bcast = spark.sparkContext.broadcast(base_sample)
     thr = suite.max_ks_stat
 
+    # content-hash sampling, NOT df.sample(): Spark's sample() seeds per
+    # partition INDEX, so the kept set changes with scan layout — a
+    # resumed redo of one partition (different file split) would sample
+    # different rows and report a different KS statistic than the
+    # original run.  Hashing (url, text_len) keeps the decision a pure
+    # row property (text_len mixed in so duplicate urls with different
+    # lengths still sample independently).
+    frac_mille = int(suite.ks_sample_fraction * 1000)
     sampled = (
         features.select("p_day", "text_len", "url")
         .where(F.col("text_len").isNotNull())
-        .sample(fraction=suite.ks_sample_fraction,
-                seed=suite.extraction_sample_seed)
+        .where(
+            F.pmod(
+                F.xxhash64(
+                    "url", "text_len", F.lit(suite.extraction_sample_seed)
+                ),
+                F.lit(1000),
+            )
+            < frac_mille
+        )
     )
     # deterministic per-day cap: order by a url hash (uniform, seed-mixed)
     # so the kept subset is a uniform random — and reproducible — sample;

@@ -35,8 +35,16 @@ def main(argv=None) -> int:
                     help="opt-in cross-doc near-dup rate gate (guarded "
                          "MinHash pair surface per partition; "
                          "NearDuplicationAnomaly violations)")
+    ap.add_argument("--resumable", action="store_true",
+                    help="checkpointed per-partition lineage + resume: "
+                         "skip partitions already DONE in "
+                         "<out>/lineage, write results idempotently "
+                         "per partition (requires --out)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.resumable and not args.out:
+        ap.error("--resumable requires --out (the lineage table lives "
+                 "under the results root)")
 
     import dataclasses
 
@@ -51,14 +59,34 @@ def main(argv=None) -> int:
         suite = dataclasses.replace(suite, check_near_dup=True)
     spark = get_spark(app_name="aqcs-validate", cores=args.cores)
     t0 = time.time()
-    res = validate(
-        spark,
-        pages_path=args.pages,
-        ref_hosts_path=args.ref_hosts,
-        baseline_path=args.baseline,
-        suite=suite,
-        results_root=args.out,
-    )
+    if args.resumable:
+        from audio_quality_checker_spark.plans.lineage import (
+            validate_resumable,
+        )
+
+        res = validate_resumable(
+            spark,
+            pages_path=args.pages,
+            results_root=args.out,
+            ref_hosts_path=args.ref_hosts,
+            baseline_path=args.baseline,
+            suite=suite,
+        )
+        if res is None:
+            print("-- all partitions already DONE (no-op resume)",
+                  file=sys.stderr)
+            print("-- validated 0 docs in 0.00s (resume no-op)",
+                  file=sys.stderr)
+            return 0
+    else:
+        res = validate(
+            spark,
+            pages_path=args.pages,
+            ref_hosts_path=args.ref_hosts,
+            baseline_path=args.baseline,
+            suite=suite,
+            results_root=args.out,
+        )
     if args.json:
         # distributed JSON-lines serialization (F.to_json rides codegen;
         # only the already-tiny per-partition verdict rows are collected)
