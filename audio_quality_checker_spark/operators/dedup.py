@@ -884,8 +884,18 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     # universe.  A 4-hash band collision already implies similarity, so
     # the bucket key added almost no selectivity; dissimilar same-band
     # collisions across distant buckets die on the range predicate.
+    # shingle_k=1: TOKEN-SET MinHash, so the candidate metric is the
+    # SAME similarity the verify stage computes.  The default 5-word
+    # shingling measures sequence overlap — near-zero for documents
+    # that share vocabulary in a different order — while the verify is
+    # token-set jaccard; with mismatched metrics the hot-block route
+    # silently found ~0% of true pairs (measured on an 800-doc block:
+    # 19 of 155,907 pairs at j >= 0.5).  With k=1 the banding collision
+    # probability applies to the true token jaccard: ~0.87 at j=0.5,
+    # ~0.99 at j=0.7 (asserted by the hot-block recall test).
     doc_sigs = minhash_signatures(
-        needs_sig, "doc_id", "t", extra_cols=("lang", "len_blk")
+        needs_sig, "doc_id", "t", shingle_k=1,
+        extra_cols=("lang", "len_blk"),
     )
     sigs = _banded_sigs(
         doc_sigs, "doc_id", 32, 128, extra_cols=("lang", "len_blk")

@@ -200,33 +200,6 @@ def binary_signatures(df: DataFrame, dim: int, n_bits: int = 192,
     )
 
 
-def _partition_topm(scored: DataFrame, m: int) -> DataFrame:
-    """Per-physical-partition partial top-m: keep each query_id's m
-    smallest (hamming, neighbor_id) rows within every input partition,
-    without shuffling.  Arrow batches of one partition stream through a
-    running per-query head — memory is bounded by n_queries * m rows per
-    task, and the output is at most n_partitions * m rows per query,
-    which the exact global window then reduces to m.  The pandas sort is
-    vectorized over the whole batch (no per-row Python)."""
-    schema = scored.schema
-    cols = [f.name for f in schema.fields]
-
-    def partial(batches):
-        best = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cur = pd.concat([best, pdf]) if best is not None else pdf
-            cur = cur.sort_values(
-                ["query_id", "hamming", "neighbor_id"], kind="mergesort"
-            )
-            best = cur.groupby("query_id", sort=False).head(m)
-        if best is not None:
-            yield best[cols]
-
-    return scored.mapInPandas(partial, schema=schema)
-
-
 def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
             n_bits: int = 192, cand_frac: float = 0.08,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -260,22 +233,21 @@ def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    scored_h = (
+    # TWO-PHASE top-m, courtesy of Catalyst's rank-limit pushdown: a
+    # row_number window partitioned by query_id with a `<= m` filter
+    # does NOT funnel every corpus row for a query through one reducer
+    # — Spark plants a partial WindowGroupLimit BELOW the Exchange, so
+    # each map partition ships only its per-query top-m and the exact
+    # final window sorts <= P*m survivors per query.  The shape is
+    # load-bearing at 10^12 scale, so tests/test_plans.py pins it (an
+    # expression change that blocks the pushdown — e.g. a non-rank
+    # window function — would silently reintroduce the full-candidate
+    # single-reducer sort and fail that test).  Order by
+    # (hamming, neighbor_id): a total order, deterministic cut.
+    cand = (
         qs.crossJoin(cs)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", hamming.alias("hamming"))
-    )
-    # TWO-PHASE top-m: a single row_number window partitioned by
-    # query_id would hash EVERY corpus row for a query to one reducer —
-    # a per-query single-partition sort of |C| rows at 10^12 scale.
-    # Phase 1 keeps each query's top-m WITHIN each physical partition
-    # (mapInPandas — a narrow transformation, zero shuffle, bounded
-    # output of <= m rows per (partition, query)); phase 2 runs the
-    # exact window over only the <= P*m survivors.  Both phases order by
-    # (hamming, neighbor_id) — a total order — so the final candidate
-    # set is bit-identical to the single-window formulation.
-    cand = (
-        _partition_topm(scored_h, m)
         .withColumn(
             "_rk",
             F.row_number().over(

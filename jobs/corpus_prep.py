@@ -1,0 +1,161 @@
+"""spark-submit entry point: prepare a training corpus end-to-end.
+
+    spark-submit --py-files aqcs.zip --driver-memory 48g jobs/corpus_prep.py \
+        --docs /path/documents.parquet --out /path/prep [--threshold 0.8]
+
+The composed LLM-training-data pipeline the individual operators build
+toward, as ONE job over the documents table:
+
+  1. drop null/empty-text docs (unusable rows, counted)
+  2. exact dedup  — md5 hash-groupBy, keep the minimum doc_id
+  3. near-dup dedup — guarded hybrid pair search (exact within bounded
+     (lang, length-bucket) blocks, MinHash-LSH above the cap) ->
+     connected components -> keep one representative per cluster
+  4. document filters — Gopher dup-line fraction and the composite
+     quality score, both pure Catalyst expressions
+  5. BPE token budget — merges trained on a bounded deterministic
+     sample of the SURVIVING corpus, exact distributed counts per lang
+
+Outputs: the filtered corpus under <out>/corpus (with lang_id, quality
+and repetition columns attached), a per-lang budget table under
+<out>/budget, and ONE JSON line on stdout with per-stage counts — the
+shard-level report a data pipeline records per ingest.
+
+Every stage is the operator the rest of the repo tests and bounds-gates
+(operators/dedup.py, operators/components.py, functions/text_stats.py,
+functions/bpe.py); this job only composes them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="prepare a training corpus")
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--threshold", type=float, default=0.8,
+                    help="near-dup jaccard threshold for keep-one "
+                         "(0.8 is the standard dedup setting — Lee et "
+                         "al., 'Deduplicating Training Data Makes "
+                         "Language Models Better', ACL 2022; lower "
+                         "values chain template docs into giant "
+                         "clusters and keep-one becomes destructive)")
+    ap.add_argument("--block-cap", type=int, default=5_000,
+                    help="exact-route block cap of the guarded surface")
+    ap.add_argument("--min-quality", type=float, default=0.5,
+                    help="minimum composite quality score")
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.30,
+                    help="Gopher dup-line fraction cap")
+    ap.add_argument("--bpe-vocab", type=int, default=384,
+                    help="BPE vocab size for the budget count")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from audio_quality_checker_spark.functions.bpe import (
+        bpe_token_counts,
+        train_bpe,
+    )
+    from audio_quality_checker_spark.functions.text_stats import (
+        lang_id_col,
+        quality_features,
+        quality_score_col,
+        repetition_features,
+    )
+    from audio_quality_checker_spark.operators.components import keep_one
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+    )
+    from audio_quality_checker_spark.session import get_spark
+
+    spark = get_spark(app_name="aqcs-corpus-prep", cores=args.cores)
+    docs = spark.read.parquet(args.docs)
+    n_input = docs.count()
+
+    # 1. unusable rows
+    usable = docs.where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    usable.persist()
+    n_usable = usable.count()
+
+    # 2. exact dedup (hash-groupBy keep-min — one shuffle of (hash, id))
+    keep_ids = (
+        usable.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = usable.join(keep_ids, "doc_id")
+    exact.persist()
+    n_exact = exact.count()
+    usable.unpersist()
+
+    # 3. near-dup keep-one (guarded pair search -> components)
+    pairs = jaccard_pairs_guarded(
+        exact, threshold=args.threshold, block_cap=args.block_cap
+    )
+    deduped = keep_one(exact, pairs.select("id_a", "id_b"))
+    deduped.persist()
+    n_dedup = deduped.count()
+    pairs.unpersist()
+    exact.unpersist()
+
+    # 4. document filters — all Catalyst expressions, one pass
+    scored = repetition_features(
+        quality_features(deduped).withColumn("quality", quality_score_col())
+    ).withColumn("lang_id", lang_id_col())
+    kept = scored.where(
+        (F.col("quality") >= args.min_quality)
+        & (
+            F.col("dup_line_frac").isNull()
+            | (F.col("dup_line_frac") <= args.max_dup_line_frac)
+        )
+    ).drop("n_chars_q", "punct_ratio", "digit_ratio", "upper_ratio",
+           "stopword_ratio", "mean_token_len")
+    kept.persist()
+    n_kept = kept.count()
+    deduped.unpersist()
+
+    # 5. BPE budget over the SURVIVING corpus
+    merges = train_bpe(kept, vocab_size=args.bpe_vocab)
+    budget = (
+        bpe_token_counts(kept, merges)
+        .groupBy("lang")
+        .agg(
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+    kept.drop("toks").write.mode("overwrite").parquet(f"{args.out}/corpus")
+    budget.write.mode("overwrite").parquet(f"{args.out}/budget")
+    total_tokens = (
+        budget.agg(F.sum("total_bpe_tokens")).collect()[0][0] or 0
+    )
+    kept.unpersist()
+
+    print(json.dumps({
+        "n_input": n_input,
+        "n_usable": n_usable,
+        "n_after_exact_dedup": n_exact,
+        "n_after_near_dedup": n_dedup,
+        "n_after_filters": n_kept,
+        "total_bpe_tokens": int(total_tokens),
+        "n_bpe_merges": len(merges),
+        "out": args.out,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -169,40 +169,27 @@ def test_guarded_routes_filter_above_block_count(spark):
 
 def test_bq_topk_candidate_cut_is_two_phase(spark):
     """The hamming top-m prefilter must not funnel a query's full corpus
-    through one reducer: the partial top-m (MapInPandas) runs with ZERO
-    shuffle below it, and the one hashpartitioning(query_id) Exchange in
-    the candidate stage sits ABOVE the partial cut, where it sees at
-    most P*m survivors per query instead of |C|."""
+    through one reducer.  Catalyst's rank-limit pushdown plants a
+    partial WindowGroupLimit BELOW the Exchange (each map partition
+    ships only its per-query top-m; the exact final window sees <= P*m
+    survivors) — this test pins that shape, because an expression
+    change that blocks the pushdown would silently reintroduce a
+    per-query single-reducer sort of the whole corpus."""
+    import re
+
     import numpy as np
 
-    from audio_quality_checker_spark.operators.similarity import (
-        _partition_topm,
-        binary_signatures,
-    )
+    from audio_quality_checker_spark.operators.similarity import bq_topk
 
     rng = np.random.default_rng(7)
     rows = [(i, rng.standard_normal(16).tolist()) for i in range(64)]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    qs = binary_signatures(vecs.limit(4), 16, 64).select(
-        F.col("vec_id").alias("query_id"), F.col("sketch").alias("qsk")
-    )
-    cs = binary_signatures(vecs, 16, 64).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("sketch").alias("csk")
-    )
-    hamming = F.aggregate(
-        F.zip_with("qsk", "csk", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        qs.crossJoin(cs)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", hamming.alias("hamming"))
-    )
-    partial = _partition_topm(scored, 8)
-    plan = fmt(partial)
-    assert "MapInPandas" in plan, plan
-    # phase 1 is narrow: no hash-shuffle anywhere below/at the partial cut
-    # (the cross join's BroadcastExchange is fine — it ships the tiny
-    # query side, not the corpus)
-    assert "hashpartitioning" not in plan, plan
+    plan = fmt(bq_topk(vecs.limit(4), vecs, dim=16, k=3, n_bits=64,
+                       n_corpus=64))
+    # the candidate stage: a partial WindowGroupLimit must appear below
+    # the (single) hashpartitioning(query_id) Exchange of the hamming
+    # window — node ids in formatted explain increase towards the leaves
+    # within a subtree, so the partial limit's id is SMALLER than the
+    # final (post-Exchange) one and the Exchange sits between them
+    wgl = [int(m) for m in re.findall(r"WindowGroupLimit \((\d+)\)", plan)]
+    assert len(set(wgl)) >= 2, f"rank-limit pushdown missing:\n{plan}"
