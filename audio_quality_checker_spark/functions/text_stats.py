@@ -181,15 +181,45 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
         ),
     )
     base = staged.select("_rid", "dup_line_frac", bigrams.alias("_bigrams"))
-    per_bigram = (
-        base.select("_rid", F.explode("_bigrams").alias("bg"))
-        .groupBy("_rid", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # top-bigram count WITHOUT the (doc, bigram) explode+groupBy: sort
+    # the bigram array in-row, then the most frequent bigram's count is
+    # the longest run of equal adjacent elements — one aggregate() scan
+    # over adjacency flags, zero shuffle (the explode shape moved one
+    # row per bigram OCCURRENCE through an Exchange; this moves none
+    # and was the suite's worst sf1 grower).  Same staging discipline:
+    # the sorted array gets its OWN projection before the pairwise
+    # slice+zip_with, or Catalyst re-sorts per element.
+    sorted_bg = base.select(
+        "_rid", "dup_line_frac", F.sort_array("_bigrams").alias("_sbg")
     )
-    top = per_bigram.groupBy("_rid").agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    nb = F.size("_sbg")
+    eqs = F.when(
+        nb >= 2,
+        F.zip_with(
+            F.slice("_sbg", 1, nb - 1),
+            F.slice("_sbg", 2, nb - 1),
+            lambda x, y: (x == y).cast("int"),
+        ),
     )
-    feats = base.select("_rid", "dup_line_frac").join(top, "_rid", "left")
+    run_best = F.aggregate(
+        F.coalesce(eqs, F.array()),
+        F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
+        lambda acc, x: F.struct(
+            F.when(x == 1, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == 1, acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    feats = sorted_bg.select(
+        "_rid",
+        "dup_line_frac",
+        F.when(
+            nb >= 1, F.round(run_best / nb, 6)
+        ).alias("top_bigram_frac"),
+    )
     return df.join(
         feats.withColumnRenamed("_rid", id_col), id_col, "left"
     )
