@@ -313,6 +313,15 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     agreement (estimated Jaccard = fraction of equal MinHash components).
     Use shingle_mode="char" for unsegmented scripts (zh/ja/th).
 
+    METRIC NOTE: with the default shingle_k=5 this operator measures
+    k-gram SHINGLE jaccard — sequence-sensitive similarity, near zero
+    for documents that share vocabulary in a different order.  That is
+    the right metric for copy/boilerplate detection (the classic
+    Broder construction).  For token-SET similarity — what
+    jaccard_pairs_guarded verifies — pass shingle_k=1; mixing the two
+    metrics between candidate generation and verification silently
+    destroys recall (the round-5 guarded-surface fix).
+
     ``collapse_exact`` groups IDENTICAL signatures before banding — same
     rationale and same identical-output guarantee as the SimHash collapse
     (see simhash_near_dups): exact-dup-heavy web corpora otherwise pay m
