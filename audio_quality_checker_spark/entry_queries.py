@@ -1043,6 +1043,43 @@ def q_embedding_dedup_incremental(spark, sf):
     )
 
 
+def q_url_canonical(spark, sf):
+    """URL canonicalization + url-level dup groups
+    (functions/url_norm.py): drop fragments, lowercase scheme/host,
+    strip default ports, drop tracking params (utm_*, gclid, fbclid,
+    ref, mc_*) and sort the survivors — the url-level dedup a crawl
+    pipeline runs before content dedup.  The testdata tables carry no
+    URL column, so BOTH sides synthesize the same deterministic
+    variants from doc_id (the planted-construction pattern of
+    q_embedding_dedup): four raw spellings per base url — mixed-case
+    host + fragment, utm/fbclid params, default port, and the clean
+    form — which must collapse to ONE canonical url with n_variants=4.
+    Fully SQL-expressible: the DuckDB oracle applies the same regex
+    rules."""
+    from audio_quality_checker_spark.functions.url_norm import (
+        url_dup_groups,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("example"), (F.col("doc_id") % 29).cast("string"), F.lit(".com")
+    )
+    path = F.concat(F.lit("/p/"), (F.col("doc_id") % 7).cast("string"))
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://WWW."), F.upper(host), path, F.lit("#section-2")))
+        .when(variant == 1, F.concat(F.lit("https://www."), host, path, F.lit("?utm_source=feed&fbclid=abc123")))
+        .when(variant == 2, F.concat(F.lit("https://www."), host, F.lit(":443"), path, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://www."), host, path, F.lit("?a=1&b=2&utm_campaign=x")))
+    )
+    urls = d.select(url.alias("url"))
+    out = url_dup_groups(urls)
+    return out.select(
+        "canonical_url", "n_variants",
+        F.array_join("variants", "|").alias("variants"),
+    ).orderBy("canonical_url")
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN, the kNN scale path.  n_probe/n_lists is the recall dial
     (measured here: 3/8 -> 0.68, 4/8 -> 0.79, 5/8 -> 0.90 recall@5); at
@@ -1622,6 +1659,55 @@ FROM documents GROUP BY lang
 """
 
 
+
+SQL_URL_CANONICAL = """
+WITH raw AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'https://WWW.' || upper('example' || CAST(doc_id % 29 AS VARCHAR) || '.com') || '/p/' || CAST(doc_id % 7 AS VARCHAR) || '#section-2'
+    WHEN 1 THEN 'https://www.example' || CAST(doc_id % 29 AS VARCHAR) || '.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&fbclid=abc123'
+    WHEN 2 THEN 'https://www.example' || CAST(doc_id % 29 AS VARCHAR) || '.com:443/p/' || CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1'
+    ELSE 'https://www.example' || CAST(doc_id % 29 AS VARCHAR) || '.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2&utm_campaign=x'
+  END AS url
+  FROM documents
+), parts AS (
+  SELECT url,
+         regexp_replace(url, '#.*', '') AS no_frag
+  FROM raw
+), pieces AS (
+  SELECT url,
+         lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+         regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(no_frag, '\?([^#]*)', 1) AS query0
+  FROM parts
+), canon AS (
+  SELECT url,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END ||
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+         CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+  FROM (
+    -- COALESCE: DuckDB's list_sort([]) yields NULL, not []
+    SELECT *, COALESCE(array_to_string(
+        list_sort(list_filter(string_split(query0, '&'),
+            p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)='))),
+        '&'), '') AS kept
+    FROM pieces
+  )
+  WHERE scheme IN ('http', 'https') AND hostport != ''
+)
+SELECT canonical_url,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       array_to_string(list_sort(list(DISTINCT url)), '|') AS variants
+FROM canon
+GROUP BY canonical_url
+HAVING count(DISTINCT url) > 1
+ORDER BY canonical_url
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1672,6 +1758,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, None),
     "embedding_dedup": (q_embedding_dedup, None),
     "embedding_dedup_incremental": (q_embedding_dedup_incremental, None),
+    "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "ivf_topk": (q_ivf_topk, None),
     "brute_topk": (q_brute_topk, SQL_BRUTE_TOPK),
     "kll_quantiles": (q_kll_quantiles, None),
