@@ -1080,6 +1080,26 @@ def q_url_canonical(spark, sf):
     ).orderBy("canonical_url")
 
 
+def q_shard_report(spark, sf):
+    """Token-balanced output sharding (operators/sharding.py):
+    serpentine placement over the weight-descending rank bounds the
+    shard-weight spread by the largest single document — the write-side
+    op a training pipeline runs so every reader gets equal work.
+    Weight = the documents table's n_chars (deterministic, no
+    tokenizer dependency in the oracle).  Fully SQL-expressible:
+    row_number + fold arithmetic, value-matched by DuckDB."""
+    from audio_quality_checker_spark.operators.sharding import (
+        shard_balance_report,
+        shard_by_weight,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    out = shard_by_weight(d, 8, weight_col="n_chars")
+    return shard_balance_report(out, weight_col="n_chars").select(
+        "shard", "n_docs", "total_weight", "weight_frac", "rel_imbalance"
+    )
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN, the kNN scale path.  n_probe/n_lists is the recall dial
     (measured here: 3/8 -> 0.68, 4/8 -> 0.79, 5/8 -> 0.90 recall@5); at
@@ -1708,6 +1728,30 @@ ORDER BY canonical_url
 """
 
 
+
+SQL_SHARD_REPORT = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rk
+  FROM documents
+), assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN rk % 16 < 8 THEN rk % 16 ELSE 15 - rk % 16 END AS shard
+  FROM ranked
+), totals AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_weight
+  FROM assigned GROUP BY shard
+)
+SELECT CAST(shard AS INTEGER) AS shard, n_docs, total_weight,
+       round(total_weight / CAST(sum(total_weight) OVER () AS DOUBLE), 6) AS weight_frac,
+       round(abs(total_weight / CAST(sum(total_weight) OVER () AS DOUBLE)
+                 - 1.0 / count(*) OVER ()) * count(*) OVER (), 6) AS rel_imbalance
+FROM totals
+ORDER BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1759,6 +1803,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_dedup": (q_embedding_dedup, None),
     "embedding_dedup_incremental": (q_embedding_dedup_incremental, None),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
+    "shard_report": (q_shard_report, SQL_SHARD_REPORT),
     "ivf_topk": (q_ivf_topk, None),
     "brute_topk": (q_brute_topk, SQL_BRUTE_TOPK),
     "kll_quantiles": (q_kll_quantiles, None),

@@ -56,6 +56,10 @@ def main(argv=None) -> int:
                     help="Gopher dup-line fraction cap")
     ap.add_argument("--bpe-vocab", type=int, default=384,
                     help="BPE vocab size for the budget count")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="write the corpus as N token-balanced shards "
+                         "(serpentine over exact BPE counts; 0 = no "
+                         "sharding)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -137,7 +141,23 @@ def main(argv=None) -> int:
         .orderBy("lang")
     )
 
-    kept.drop("toks").write.mode("overwrite").parquet(f"{args.out}/corpus")
+    if args.shards:
+        from audio_quality_checker_spark.operators.sharding import (
+            shard_balance_report,
+            shard_by_weight,
+        )
+
+        sharded = shard_by_weight(
+            bpe_token_counts(kept, merges), args.shards
+        )
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{args.out}/corpus"
+        )
+        shard_balance_report(
+            spark.read.parquet(f"{args.out}/corpus")
+        ).write.mode("overwrite").parquet(f"{args.out}/shard_report")
+    else:
+        kept.write.mode("overwrite").parquet(f"{args.out}/corpus")
     budget.write.mode("overwrite").parquet(f"{args.out}/budget")
     total_tokens = (
         budget.agg(F.sum("total_bpe_tokens")).collect()[0][0] or 0
