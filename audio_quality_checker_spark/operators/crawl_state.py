@@ -181,19 +181,29 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
 def ingest_crawl(spark: SparkSession, new_docs: DataFrame, state_path: str,
                  crawl_id: str, id_col: str = "doc_id",
                  text_col: str = "text", n_hashes: int = 128,
-                 bands: int = 32, threshold: float = 0.7) -> dict:
+                 bands: int = 32, threshold: float = 0.7,
+                 shingle_k: int = 5, shingle_mode: str = "word") -> dict:
     """Resumable incremental ingest: dedup `new_docs` against the stored
     state, keep one representative per within-crawl cluster, drop
     anything duplicating history, append survivors' signatures under
     partition crawl_id.  Returns counters.  Deterministic end-to-end,
     and the state append overwrites only this crawl's partition — a
-    killed/re-run ingest converges to identical state (tested)."""
+    killed/re-run ingest converges to identical state (tested).
+
+    `shingle_k` / `shingle_mode` pick the similarity metric of the
+    stored signatures (see minhash_near_dups' metric note): the
+    default 5-word shingles measure sequence overlap (copy detection),
+    shingle_k=1 measures token-set jaccard (template/boilerplate
+    dedup).  The state table commits to ONE metric — re-ingesting
+    under a different k is a different dedup, not a resume."""
     from audio_quality_checker_spark.operators.components import (
         connected_components,
     )
     from audio_quality_checker_spark.sources.catalog import write_partitioned
 
-    new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes)
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes,
+                                  shingle_k=shingle_k,
+                                  shingle_mode=shingle_mode)
     new_sigs.persist()
     n_new = new_sigs.count()
 
