@@ -193,3 +193,31 @@ def test_bq_topk_candidate_cut_is_two_phase(spark):
     # final (post-Exchange) one and the Exchange sits between them
     wgl = [int(m) for m in re.findall(r"WindowGroupLimit \((\d+)\)", plan)]
     assert len(set(wgl)) >= 2, f"rank-limit pushdown missing:\n{plan}"
+
+
+def test_shard_by_weight_has_no_single_partition_funnel(spark):
+    """The serpentine rank must be the two-phase distributed rank
+    (range-partitioned sort + local rank + broadcast offsets), never an
+    unpartitioned row_number window — WindowExec with an empty
+    partition spec moves EVERY row into one partition (the round-5
+    scale-killer; the bench tail printed its `No Partition Defined`
+    warning).  Pin: no Window node and no SinglePartition exchange
+    anywhere in the plan; the range exchange is present."""
+    from audio_quality_checker_spark.operators.sharding import (
+        shard_balance_report,
+        shard_by_weight,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("bpe_tokens"),
+    )
+    out = shard_by_weight(df, 8)
+    plan = fmt(out)
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    # the cosmetic twin: shard_balance_report's grand totals ride a
+    # broadcast 1-row aggregate, not an empty-partition window
+    plan2 = fmt(shard_balance_report(out))
+    assert "Window" not in plan2, plan2
