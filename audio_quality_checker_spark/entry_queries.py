@@ -1052,8 +1052,11 @@ def q_url_canonical(spark, sf):
     URL column, so BOTH sides synthesize the same deterministic
     variants from doc_id (the planted-construction pattern of
     q_embedding_dedup): four raw spellings per base url — mixed-case
-    host + fragment, utm/fbclid params, default port, and the clean
-    form — which must collapse to ONE canonical url with n_variants=4.
+    host + fragment, interleaved utm/fbclid tracking params, default
+    port, and the clean form — all four carrying the same two SURVIVING
+    params (a=1, b=2) in different orders, so each base collapses to
+    ONE canonical url with n_variants=4 (round-5 ADVICE: the earlier
+    construction split 2+2 on the query string).
     Fully SQL-expressible: the DuckDB oracle applies the same regex
     rules."""
     from audio_quality_checker_spark.functions.url_norm import (
@@ -1067,8 +1070,8 @@ def q_url_canonical(spark, sf):
     path = F.concat(F.lit("/p/"), (F.col("doc_id") % 7).cast("string"))
     variant = F.col("doc_id") % 4
     url = (
-        F.when(variant == 0, F.concat(F.lit("https://WWW."), F.upper(host), path, F.lit("#section-2")))
-        .when(variant == 1, F.concat(F.lit("https://www."), host, path, F.lit("?utm_source=feed&fbclid=abc123")))
+        F.when(variant == 0, F.concat(F.lit("https://WWW."), F.upper(host), path, F.lit("?b=2&a=1#section-2")))
+        .when(variant == 1, F.concat(F.lit("https://www."), host, path, F.lit("?utm_source=feed&a=1&fbclid=abc123&b=2")))
         .when(variant == 2, F.concat(F.lit("https://www."), host, F.lit(":443"), path, F.lit("?b=2&a=1")))
         .otherwise(F.concat(F.lit("https://www."), host, path, F.lit("?a=1&b=2&utm_campaign=x")))
     )
@@ -1078,6 +1081,46 @@ def q_url_canonical(spark, sf):
         "canonical_url", "n_variants",
         F.array_join("variants", "|").alias("variants"),
     ).orderBy("canonical_url")
+
+
+def q_near_dup_members(spark, sf):
+    """O(n)-output MEMBERSHIP surface of the guarded near-dup family
+    (operators/dedup.near_dup_members_guarded): which documents have at
+    least one verified near-duplicate.  The round-5 verdict gate derived
+    this from the full pair list — O(cluster^2) on template-heavy crawls
+    (11.56M pairs from 50k docs at sf1) for O(n) bits of information;
+    this surface streams the exact-route match rows into a distinct
+    aggregate and star-verifies hot blocks.  block_cap=40 exercises both
+    routes at sf0.01/sf0.1.  Rows-only driver check; the bounds gate
+    asserts set EQUALITY with the pair-derived membership wherever the
+    exact route applies and a recall floor on the star hot route."""
+    from audio_quality_checker_spark.operators.dedup import (
+        near_dup_members_guarded,
+    )
+
+    d = load(spark, sf, "documents")
+    out = near_dup_members_guarded(d, threshold=0.5, block_cap=40)
+    return out.orderBy("doc_id")
+
+
+def q_dedup_edges(spark, sf):
+    """O(n)-output EDGE surface (operators/dedup.jaccard_edges_guarded):
+    verified edges spanning the same duplicate clusters as the full pair
+    list — per-bucket sparse connectivity certificate on the exact route
+    (union-find per (lang, bucket); provably component-identical to the
+    full match graph), star-to-rep on hot blocks.  The keep-one feed at
+    crawl scale.  Rows-only driver check; the bounds gate verifies every
+    edge is a true >=threshold pair and that keep-one survivors equal
+    the pair-surface survivors at the all-exact cap."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_edges_guarded,
+    )
+
+    d = load(spark, sf, "documents")
+    out = jaccard_edges_guarded(d, threshold=0.5, block_cap=40)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def q_shard_report(spark, sf):
@@ -1683,8 +1726,8 @@ FROM documents GROUP BY lang
 SQL_URL_CANONICAL = """
 WITH raw AS (
   SELECT CASE doc_id % 4
-    WHEN 0 THEN 'https://WWW.' || upper('example' || CAST(doc_id % 29 AS VARCHAR) || '.com') || '/p/' || CAST(doc_id % 7 AS VARCHAR) || '#section-2'
-    WHEN 1 THEN 'https://www.example' || CAST(doc_id % 29 AS VARCHAR) || '.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&fbclid=abc123'
+    WHEN 0 THEN 'https://WWW.' || upper('example' || CAST(doc_id % 29 AS VARCHAR) || '.com') || '/p/' || CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1#section-2'
+    WHEN 1 THEN 'https://www.example' || CAST(doc_id % 29 AS VARCHAR) || '.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&a=1&fbclid=abc123&b=2'
     WHEN 2 THEN 'https://www.example' || CAST(doc_id % 29 AS VARCHAR) || '.com:443/p/' || CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1'
     ELSE 'https://www.example' || CAST(doc_id % 29 AS VARCHAR) || '.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2&utm_campaign=x'
   END AS url
@@ -1793,6 +1836,8 @@ REGISTRY: dict[str, tuple] = {
     "chunk_explode": (q_chunk_explode, SQL_CHUNK_EXPLODE),
     # rows-only (non-SQL-expressible numpy/LSH kernels; pytest-oracled)
     "near_dup_pairs": (q_near_dup_pairs, None),
+    "near_dup_members": (q_near_dup_members, None),
+    "dedup_edges": (q_dedup_edges, None),
     "minhash_dedup": (q_minhash_dedup, None),
     "dedup_components": (q_dedup_components, None),
     "dedup_incremental": (q_dedup_incremental, None),

@@ -521,6 +521,176 @@ def _bounds_embed_incremental(spark, sf, con, rows, cols):
     return problems
 
 
+def _load_documents(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _true_universe_pairs(con, threshold=0.5):
+    """All true token-set-jaccard pairs inside the guarded pair universe
+    (same lang, |length-bucket delta| <= 1), exhaustively, Python-side."""
+    tok_rows = con.execute("""
+        SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT),
+               list_distinct(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t != ''))
+        FROM documents
+    """).fetchall()
+    toks = {r[0]: (r[1], r[2], frozenset(r[3])) for r in tok_rows}
+    items = sorted(toks.items())
+    true_pairs = set()
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            (da, (la, ba, sa)), (db, (lb, bb, sb)) = items[i], items[j]
+            if la != lb or abs(ba - bb) > 1:
+                continue
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= threshold - 1e-12:
+                true_pairs.add((da, db))
+    return toks, true_pairs
+
+
+def _uf_survivors(all_ids, edges):
+    """keep-one survivor set via driver union-find (min-id reps)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {x for x in parent if find(x) != x}
+    return set(all_ids) - losers
+
+
+def _bounds_members(spark, sf, con, rows, cols):
+    """Membership surface: (a) precision exact — every member truly has
+    a near-dup in the pair universe; (b) exact-route parity — every doc
+    with a true pair in a small (within-cap) bucket IS a member;
+    (c) star hot-route recall floor 0.9 overall; (d) at the all-exact
+    cap the membership set EQUALS the pair-surface-derived set (the
+    round-5 verdict's set-equality criterion)."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+        near_dup_members_guarded,
+    )
+
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {r[idx["doc_id"]] for r in rows}
+    toks, true_pairs = _true_universe_pairs(con)
+    true_members = {d for p in true_pairs for d in p}
+    problems = []
+    spurious = got - true_members
+    if spurious:
+        problems.append(f"{len(spurious)} members with no true near-dup")
+    from collections import Counter
+
+    floor_n = Counter((lang, blk) for lang, blk, _ in toks.values())
+    blk_n = Counter()
+    for (lang, blk), c in floor_n.items():
+        blk_n[(lang, blk)] += c
+        blk_n[(lang, blk + 1)] += c
+    exact_members = set()
+    for a, b in true_pairs:
+        (la, ba, _), (_, bb, _) = toks[a], toks[b]
+        if blk_n[(la, max(ba, bb))] <= 40:
+            exact_members.update((a, b))
+    missing_exact = exact_members - got
+    if missing_exact:
+        problems.append(
+            f"{len(missing_exact)} exact-route members missing"
+        )
+    if true_members and len(got & true_members) < 0.9 * len(true_members):
+        problems.append(
+            f"recall {len(got & true_members)}/{len(true_members)} < 0.9"
+        )
+    # all-exact cap: full set equality with the pair surface
+    d = _load_documents(spark, sf)
+    pairs = jaccard_pairs_guarded(d, threshold=0.5, block_cap=1_000_000)
+    pair_members = {
+        r["doc_id"]
+        for r in pairs.selectExpr("id_a AS doc_id")
+        .unionByName(pairs.selectExpr("id_b AS doc_id"))
+        .distinct()
+        .collect()
+    }
+    mem = near_dup_members_guarded(d, threshold=0.5, block_cap=1_000_000)
+    got_exact = {r["doc_id"] for r in mem.collect()}
+    pairs.unpersist()
+    mem.unpersist()
+    if got_exact != pair_members:
+        problems.append(
+            f"all-exact membership differs: missing "
+            f"{len(pair_members - got_exact)}, spurious "
+            f"{len(got_exact - pair_members)}"
+        )
+    return problems
+
+
+def _bounds_edges(spark, sf, con, rows, cols):
+    """Edge surface: (a) soundness — every edge connects two docs that
+    are in the SAME connected component of the TRUE universe pair graph
+    (certificate edges are (component_min, member) connectivity
+    witnesses, not necessarily direct pairs; a cross-component edge
+    would wrongly merge clusters); (b) at the all-exact cap, keep-one
+    survivors over the edges EQUAL survivors over the full pair surface
+    (the round-5 verdict's set-equality criterion)."""
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_edges_guarded,
+        jaccard_pairs_guarded,
+    )
+
+    idx = {c: i for i, c in enumerate(cols)}
+    got_edges = [(r[idx["id_a"]], r[idx["id_b"]]) for r in rows]
+    got_j = {(r[idx["id_a"]], r[idx["id_b"]]): r[idx["jaccard"]]
+             for r in rows}
+    toks, true_pairs = _true_universe_pairs(con)
+    problems = []
+    # true components of the universe pair graph
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in true_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for (a, b), j in got_j.items():
+        if find(a) != find(b):
+            problems.append(
+                f"edge ({a},{b}) joins two distinct true components"
+            )
+        if not (0.5 - 1e-9 <= j <= 1.0 + 1e-9):
+            problems.append(f"edge ({a},{b}) jaccard {j} out of range")
+    # all-exact cap: survivor-set equality with the pair surface
+    d = _load_documents(spark, sf)
+    all_ids = set(toks)
+    pairs = jaccard_pairs_guarded(d, threshold=0.5, block_cap=1_000_000)
+    pair_edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    pairs.unpersist()
+    edges = jaccard_edges_guarded(d, threshold=0.5, block_cap=1_000_000)
+    cert_edges = [(r["id_a"], r["id_b"]) for r in edges.collect()]
+    edges.unpersist()
+    surv_pairs = _uf_survivors(all_ids, pair_edges)
+    surv_cert = _uf_survivors(all_ids, cert_edges)
+    if surv_pairs != surv_cert:
+        problems.append(
+            f"all-exact survivors differ: {len(surv_pairs ^ surv_cert)} "
+            "docs in the symmetric difference"
+        )
+    return problems
+
+
 BOUNDS = {
     "kll_quantiles": _bounds_kll,
     "tdigest_quantiles": _bounds_kll,
@@ -530,6 +700,8 @@ BOUNDS = {
     "simhash_dedup": _bounds_simhash,
     "minhash_dedup": _bounds_minhash,
     "near_dup_pairs": _bounds_near_dup,
+    "near_dup_members": _bounds_members,
+    "dedup_edges": _bounds_edges,
     "dedup_incremental": _bounds_incremental,
     "token_budget_bpe": _bounds_bpe,
     "embedding_dedup": _bounds_embed,

@@ -550,3 +550,149 @@ def test_guarded_lsh_route_recall_on_reordered_docs(spark):
     assert true_pairs > 100, "fixture should be pair-dense"
     # banding recall at j>=0.5 is >=0.87 per pair; assert a safe floor
     assert n_got >= 0.75 * true_pairs, (n_got, true_pairs)
+
+
+# ---------------------------------------------------------------------------
+# O(n)-output surfaces: membership + star/certificate edges
+# ---------------------------------------------------------------------------
+
+
+def test_certificate_preserves_chain_connectivity(spark):
+    """The exact route's sparse certificate must have the SAME connected
+    components as the full pair graph — including the chain shape where
+    the naive per-doc min-neighbor reduction provably fragments:
+    verified edges (1,4),(2,3),(3,4) — min-neighbor keeps only
+    (1,4),(2,3) and splits one cluster into two.  Built from texts whose
+    token-set jaccards realize exactly that edge set."""
+    from audio_quality_checker_spark.operators.components import keep_one
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_edges_guarded,
+        jaccard_pairs_guarded,
+    )
+
+    # 10 shared tokens S; doc1/doc4 = S+{a}/S+{b} (j=10/12>0.8);
+    # doc2/doc3 = T+{c}/T+{d} over a disjoint 10-token set T;
+    # doc3/doc4 bridge: doc3 and doc4 share 9 of their tokens via a
+    # third overlap — simpler: craft token sets directly.
+    S = [f"s{i}" for i in range(20)]
+    T = [f"t{i}" for i in range(20)]
+    B = S[:10] + T[:10]
+    rows = [
+        (1, "en", " ".join(S)),                    # {S}
+        (4, "en", " ".join(S[:10] + T[:10])),      # bridge-side: j(1,4)=10/30
+        (2, "en", " ".join(T)),                    # {T}
+        (3, "en", " ".join(T[:10] + S[:10])),      # j(2,3)=10/30, j(3,4)=1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    thr = 0.32  # j(1,4)=j(2,3)=1/3 >= thr; j(1,2)=0 < thr; j(3,4)=1.0
+    pairs = jaccard_pairs_guarded(df, threshold=thr)
+    edges = jaccard_edges_guarded(df, threshold=thr)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 4) in got_pairs and (1, 4) in got_pairs and (2, 3) in got_pairs
+    surv_pairs = {
+        r["doc_id"]
+        for r in keep_one(df, pairs.select("id_a", "id_b")).collect()
+    }
+    surv_edges = {
+        r["doc_id"]
+        for r in keep_one(df, edges.select("id_a", "id_b")).collect()
+    }
+    assert surv_pairs == surv_edges == {1}, (surv_pairs, surv_edges)
+    pairs.unpersist()
+    edges.unpersist()
+
+
+def test_membership_and_survivors_match_pair_surface_exact_route(spark):
+    """On a template-duplicated corpus (mutually-similar clusters — the
+    case that makes the pair list quadratic) the membership and keep-one
+    surfaces must equal the pair-derived sets exactly when the exact
+    route applies."""
+    import random
+
+    from audio_quality_checker_spark.operators.components import keep_one
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_edges_guarded,
+        jaccard_pairs_guarded,
+        near_dup_members_guarded,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    doc_id = 0
+    # 8 template clusters of 12 docs (high mutual overlap) + 50 singles
+    for t in range(8):
+        tmpl = rng.sample(vocab, 50)
+        for _ in range(12):
+            words = list(tmpl)
+            for _ in range(4):
+                words[rng.randrange(50)] = rng.choice(vocab)
+            rng.shuffle(words)
+            rows.append((doc_id, "en", " ".join(words)))
+            doc_id += 1
+    for _ in range(50):
+        rows.append((doc_id, "en", " ".join(rng.sample(vocab, 50))))
+        doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    pairs = jaccard_pairs_guarded(df, threshold=0.5)
+    pair_members = {
+        r["doc_id"]
+        for r in pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .collect()
+    }
+    pair_surv = {
+        r["doc_id"]
+        for r in keep_one(df, pairs.select("id_a", "id_b")).collect()
+    }
+    members = near_dup_members_guarded(df, threshold=0.5)
+    got_members = {r["doc_id"] for r in members.collect()}
+    edges = jaccard_edges_guarded(df, threshold=0.5)
+    got_surv = {
+        r["doc_id"]
+        for r in keep_one(df, edges.select("id_a", "id_b")).collect()
+    }
+    assert got_members == pair_members
+    assert got_surv == pair_surv
+    # the O(n) claim: edges per doc bounded by a small constant where
+    # the pair list is quadratic in cluster size
+    assert edges.count() < pairs.count()
+    pairs.unpersist()
+    members.unpersist()
+    edges.unpersist()
+
+
+def test_star_hot_route_membership_recall(spark):
+    """Hot blocks (forced via cap=10): star-to-rep membership must
+    recover nearly all pair-derived members on a reordered-token
+    template block — the banding floor applies per (doc, rep) chance
+    across 32 bands, so on mutually-similar blocks recall is ~1."""
+    import random
+
+    from audio_quality_checker_spark.operators.dedup import (
+        jaccard_pairs_guarded,
+        near_dup_members_guarded,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, "en", " ".join(rng.sample(vocab, 45))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pairs = jaccard_pairs_guarded(df, threshold=0.5, block_cap=10)
+    pair_members = {
+        r["doc_id"]
+        for r in pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .collect()
+    }
+    members = near_dup_members_guarded(df, threshold=0.5, block_cap=10)
+    got = {r["doc_id"] for r in members.collect()}
+    assert not (got - pair_members), "star must never invent members"
+    assert len(got) >= 0.9 * len(pair_members), (len(got), len(pair_members))
+    pairs.unpersist()
+    members.unpersist()
