@@ -6,10 +6,17 @@
 The composed LLM-training-data pipeline the individual operators build
 toward, as ONE job over the documents table:
 
+  0. url-level collapse (when the table carries a url column): keep the
+     first-crawled doc per CANONICAL url (functions/url_norm.py —
+     scheme/host case, default ports, fragments, tracking params) —
+     the cheapest dedup a crawl pipeline runs, before any content pass
   1. drop null/empty-text docs (unusable rows, counted)
   2. exact dedup  — md5 hash-groupBy, keep the minimum doc_id
-  3. near-dup dedup — guarded hybrid pair search (exact within bounded
-     (lang, length-bucket) blocks, MinHash-LSH above the cap) ->
+  3. near-dup dedup — guarded hybrid EDGE search (exact-route sparse
+     connectivity certificate within bounded (lang, length-bucket)
+     blocks, star-to-rep MinHash-LSH above the cap; O(n) edges even on
+     dense template clusters, where the round-5 pair surface emitted
+     O(cluster^2) pairs — 11.56M from 50k docs at sf1) ->
      connected components -> keep one representative per cluster
   4. document filters — Gopher dup-line fraction and the composite
      quality score, both pure Catalyst expressions
@@ -50,6 +57,10 @@ def main(argv=None) -> int:
                          "clusters and keep-one becomes destructive)")
     ap.add_argument("--block-cap", type=int, default=5_000,
                     help="exact-route block cap of the guarded surface")
+    ap.add_argument("--url-col", default="url",
+                    help="column holding the document url; when absent "
+                         "from the table, the url-collapse stage is a "
+                         "counted no-op")
     ap.add_argument("--min-quality", type=float, default=0.5,
                     help="minimum composite quality score")
     ap.add_argument("--max-dup-line-frac", type=float, default=0.30,
@@ -75,15 +86,37 @@ def main(argv=None) -> int:
         quality_score_col,
         repetition_features,
     )
+    from audio_quality_checker_spark.functions.url_norm import (
+        canonical_url_col,
+    )
     from audio_quality_checker_spark.operators.components import keep_one
     from audio_quality_checker_spark.operators.dedup import (
-        jaccard_pairs_guarded,
+        jaccard_edges_guarded,
     )
     from audio_quality_checker_spark.session import get_spark
 
     spark = get_spark(app_name="aqcs-corpus-prep", cores=args.cores)
     docs = spark.read.parquet(args.docs)
     n_input = docs.count()
+
+    # 0. url-level collapse: one doc (min doc_id = first-crawled proxy)
+    # per canonical url.  Null/unparseable canonicals are never grouped
+    # (a null key would collapse every url-less doc into one survivor).
+    if args.url_col in docs.columns:
+        cu = docs.select(
+            "doc_id", canonical_url_col(args.url_col).alias("__cu")
+        )
+        u_keep = (
+            cu.where(F.col("__cu").isNotNull())
+            .groupBy("__cu")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+            .unionByName(cu.where(F.col("__cu").isNull()).select("doc_id"))
+        )
+        docs = docs.join(u_keep, "doc_id")
+        n_url = docs.count()
+    else:
+        n_url = n_input
 
     # 1. unusable rows
     usable = docs.where(
@@ -103,14 +136,19 @@ def main(argv=None) -> int:
     n_exact = exact.count()
     usable.unpersist()
 
-    # 3. near-dup keep-one (guarded pair search -> components)
-    pairs = jaccard_pairs_guarded(
+    # 3. near-dup keep-one (guarded EDGE search -> components).  The
+    # edge surface spans the same duplicate clusters as the pair list
+    # with O(n) edges (per-bucket connectivity certificate + star hot
+    # route) — survivors identical wherever the exact route applies,
+    # and the 94%-template corpus no longer materializes an
+    # O(cluster^2) pair frame just to pick one representative.
+    edges = jaccard_edges_guarded(
         exact, threshold=args.threshold, block_cap=args.block_cap
     )
-    deduped = keep_one(exact, pairs.select("id_a", "id_b"))
+    deduped = keep_one(exact, edges.select("id_a", "id_b"))
     deduped.persist()
     n_dedup = deduped.count()
-    pairs.unpersist()
+    edges.unpersist()
     exact.unpersist()
 
     # 4. document filters — all Catalyst expressions, one pass
@@ -166,6 +204,7 @@ def main(argv=None) -> int:
 
     print(json.dumps({
         "n_input": n_input,
+        "n_after_url_dedup": n_url,
         "n_usable": n_usable,
         "n_after_exact_dedup": n_exact,
         "n_after_near_dedup": n_dedup,

@@ -64,6 +64,7 @@ def prep_result(spark, tmp_path_factory):
 def test_stage_counters(spark, prep_result):
     report, _ = prep_result
     assert report["n_input"] == 49
+    assert report["n_after_url_dedup"] == 49   # no url column: counted no-op
     assert report["n_usable"] == 47            # null + whitespace dropped
     assert report["n_after_exact_dedup"] == 44  # 3 exact copies of doc 0
     assert report["n_after_near_dedup"] == 42   # 200/201 fold into doc 1
@@ -88,3 +89,59 @@ def test_output_corpus(spark, prep_result):
     assert sum(r["total_bpe_tokens"] for r in budget) == report[
         "total_bpe_tokens"
     ]
+
+
+def test_url_collapse_stage(spark, tmp_path):
+    """Stage 0: planted canonical-url variants collapse to the
+    first-crawled doc; docs without variants (and docs with null url)
+    survive unchanged."""
+    import contextlib
+    import io
+
+    from jobs.corpus_prep import main
+
+    rng = __import__("random").Random(7)
+
+    def prose(i):
+        return " ".join(f"u{i}w{j}{rng.randrange(9)}" for j in range(60))
+
+    rows = []
+    # 20 unique docs with unique urls
+    for i in range(20):
+        rows.append((i, "en", prose(i), f"https://www.site{i}.example/page"))
+    # 3 url-variants of doc 0's page, DIFFERENT content (so only the
+    # url stage can collapse them)
+    rows.append((100, "en", prose(100),
+                 "https://WWW.SITE0.example/page#frag"))
+    rows.append((101, "en", prose(101),
+                 "https://www.site0.example:443/page?utm_source=x"))
+    rows.append((102, "en", prose(102),
+                 "https://www.site0.example/page"))
+    # 2 docs with null url: must both survive (no null-key collapse)
+    rows.append((200, "en", prose(200), None))
+    rows.append((201, "en", prose(201), None))
+
+    import pandas as pd
+    root = str(tmp_path)
+    docs = f"{root}/documents.parquet"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text", "url"])
+    ).write.mode("overwrite").parquet(docs)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--docs", docs, "--out", f"{root}/out",
+                   "--min-quality", "0.0"])
+    assert rc == 0
+    import json
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_input"] == 25
+    # doc 0's url canonicalizes with case/default-port/fragment/utm
+    # normalized (www is NOT stripped — hosts must match);
+    # variants 100-102 collapse into it -> 3 dropped, nulls survive
+    assert report["n_after_url_dedup"] == 22
+    corpus = spark.read.parquet(f"{root}/out/corpus")
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert 0 in ids and ids.isdisjoint({100, 101, 102})
+    assert {200, 201} <= ids
+    assert set(range(20)) <= ids
