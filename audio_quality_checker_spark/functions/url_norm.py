@@ -2,8 +2,10 @@
 BEFORE content dedup: the same page is crawled as `http://Example.com`,
 `https://example.com/?utm_source=x`, `https://example.com:443/#frag`,
 and exact text dedup misses the duplication whenever the bodies differ
-by a timestamp or ad slot.  (The reference normalizes its inputs per
-file before fingerprinting, signature.rs; this is the URL analog.)
+by a timestamp or ad slot.  (The reference's analog is normalizing the
+decoded payload to one canonical representation before any analysis —
+samples to [-1.0, 1.0] at decode, decoder.rs:19 — so every downstream
+comparison sees one spelling per input.)
 
 Rules (standard RFC 3986 normalization + tracking-param hygiene), all
 pure Catalyst string expressions so a DuckDB oracle can apply the SAME

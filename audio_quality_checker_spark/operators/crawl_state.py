@@ -178,6 +178,43 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
         return None
 
 
+def _check_state_meta(spark: SparkSession, state_path: str,
+                      fields: dict) -> None:
+    """Pin the similarity metric a signature state was built with.
+
+    First ingest writes `fields` (e.g. shingle_k/shingle_mode/n_hashes)
+    to `{state_path}/_metric` (an underscore-prefixed side table, so the
+    partitioned state read ignores it); every later ingest re-reads it
+    and REFUSES on mismatch — signatures under different shingle
+    parameters are numerically comparable but semantically incompatible,
+    the exact silent-recall failure class round 5 fixed in the guarded
+    surface (candidate metric != verify metric).  The docstring warning
+    alone did not enforce this (round-5 ADVICE)."""
+    from pyspark.errors import AnalysisException
+
+    meta_path = f"{state_path.rstrip('/')}/_metric"
+    try:
+        stored = spark.read.parquet(meta_path).collect()
+    except AnalysisException:
+        stored = []
+    if stored:
+        got = {k: stored[0][k] for k in fields}
+        if got != fields:
+            raise ValueError(
+                f"state at {state_path} was built with metric {got}; "
+                f"this ingest requests {fields} — incompatible "
+                "signatures. Use a new state_path (different metric = "
+                "different dedup, not a resume)."
+            )
+    else:
+        schema = ", ".join(
+            f"{k} {'string' if isinstance(v, str) else 'int'}"
+            for k, v in fields.items()
+        )
+        spark.createDataFrame([tuple(fields.values())], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
 def ingest_crawl(spark: SparkSession, new_docs: DataFrame, state_path: str,
                  crawl_id: str, id_col: str = "doc_id",
                  text_col: str = "text", n_hashes: int = 128,
@@ -194,13 +231,19 @@ def ingest_crawl(spark: SparkSession, new_docs: DataFrame, state_path: str,
     stored signatures (see minhash_near_dups' metric note): the
     default 5-word shingles measure sequence overlap (copy detection),
     shingle_k=1 measures token-set jaccard (template/boilerplate
-    dedup).  The state table commits to ONE metric — re-ingesting
-    under a different k is a different dedup, not a resume."""
+    dedup).  The state table commits to ONE metric — recorded in a
+    `_metric` side table on first ingest and ENFORCED on every later
+    one (mismatched k/mode/n_hashes raises instead of silently
+    comparing incompatible signatures)."""
     from audio_quality_checker_spark.operators.components import (
         connected_components,
     )
     from audio_quality_checker_spark.sources.catalog import write_partitioned
 
+    _check_state_meta(spark, state_path, {
+        "shingle_k": shingle_k, "shingle_mode": shingle_mode,
+        "n_hashes": n_hashes,
+    })
     new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes,
                                   shingle_k=shingle_k,
                                   shingle_mode=shingle_mode)
@@ -362,6 +405,9 @@ def ingest_crawl_embedding(spark: SparkSession, new_vecs: DataFrame,
     )
     from audio_quality_checker_spark.sources.catalog import write_partitioned
 
+    _check_state_meta(spark, state_path, {
+        "dim": dim, "n_bits": n_bits, "band_bits": band_bits,
+    })
     new_sk = binary_signatures(new_vecs, dim, n_bits, id_col, vec_col)
     new_sk.persist()
     n_new = new_sk.count()

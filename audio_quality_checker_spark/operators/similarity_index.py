@@ -136,6 +136,15 @@ def append_to_index(new_corpus: DataFrame, index: ANNIndex,
     with identical content (resume-safe)."""
     if crawl_id == BASE_CRAWL:
         raise ValueError(f"crawl_id {BASE_CRAWL!r} is reserved")
+    spark = new_corpus.sparkSession
+    try:
+        spark.read.parquet(f"{index.path}/counts").schema
+    except Exception:
+        raise ValueError(
+            f"index at {index.path} uses the pre-append layout (no "
+            "counts/ table); it still loads for queries, but rebuild "
+            "with build_index before appending crawls"
+        )
     n_new = new_corpus.count()
     _write_corpus_tables(
         new_corpus, index.path, crawl_id, index.dim, index.n_bits,
@@ -151,9 +160,20 @@ def load_index(spark: SparkSession, path: str) -> ANNIndex:
     ).collect()
     centroids = np.array([r["centroid"] for r in cent_rows],
                          dtype=np.float64)
-    n_vectors = sum(
-        r["n"] for r in spark.read.parquet(f"{path}/counts").collect()
-    )
+    try:
+        n_vectors = sum(
+            r["n"] for r in spark.read.parquet(f"{path}/counts").collect()
+        )
+    except Exception:
+        # pre-append index layout (round-4 build_index): no counts/
+        # table, n_vectors lived in meta.  Fall back so old indexes
+        # still LOAD and serve queries (round-5 ADVICE: the format
+        # change silently broke them); append_to_index refuses the old
+        # layout explicitly rather than writing a counts/ table that
+        # would cover only the new crawl.
+        if "n_vectors" not in (meta.asDict() if meta else {}):
+            raise
+        n_vectors = meta["n_vectors"]
     return ANNIndex(
         path=path,
         dim=meta["dim"],

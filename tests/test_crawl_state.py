@@ -248,3 +248,26 @@ def test_ingest_crawl_embedding_protocol_and_resume(spark, vec_crawls,
     )
     assert before == after
     assert r2b["n_survivors"] == r2["n_survivors"]
+
+
+def test_metric_mismatch_refused(spark, tmp_path):
+    """The state records its similarity metric on first ingest; a later
+    ingest with different shingle parameters must raise, not silently
+    compare incompatible signatures (round-5 ADVICE)."""
+    import pytest as _pytest
+
+    from audio_quality_checker_spark.operators.crawl_state import (
+        ingest_crawl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma delta " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    ingest_crawl(spark, docs, state, "c1", shingle_k=1)
+    with _pytest.raises(ValueError, match="incompatible"):
+        ingest_crawl(spark, docs, state, "c2", shingle_k=5)
+    # same metric resumes fine
+    out = ingest_crawl(spark, docs, state, "c2", shingle_k=1)
+    assert out["n_new_docs"] == 8

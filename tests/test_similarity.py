@@ -310,3 +310,41 @@ def test_index_append_matches_rebuild(spark, vectors, tmp_path):
         for r in idx2.sketches.collect()
     )
     assert before == after and idx2.n_vectors == 310
+
+
+def test_load_index_pre_append_layout_fallback(spark, tmp_path):
+    """An index persisted by the pre-append layout (n_vectors in meta,
+    no counts/ table) must still load and serve queries; appending to it
+    must refuse loudly (round-5 ADVICE: the format change silently
+    broke old indexes)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from audio_quality_checker_spark.operators.similarity_index import (
+        append_to_index,
+        build_index,
+        load_index,
+    )
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    idx = build_index(corpus, path, dim=8, n_bits=64, n_lists=4)
+    # rewrite as the OLD layout: move n_vectors into meta, drop counts/
+    import shutil
+
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    spark.createDataFrame(
+        [(meta["dim"], meta["n_bits"], meta["n_lists"], meta["seed"],
+          idx.n_vectors)],
+        "dim int, n_bits int, n_lists int, seed long, n_vectors long",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    shutil.rmtree(f"{path}/counts")
+
+    old = load_index(spark, path)
+    assert old.n_vectors == 32
+    with _pytest.raises(ValueError, match="pre-append layout"):
+        append_to_index(corpus, old, "c1")
