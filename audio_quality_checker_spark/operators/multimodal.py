@@ -185,11 +185,39 @@ def fake_encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
 
 
 def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    if payload is None or len(payload) < 8 or payload[:4] != b"AUD1":
-        raise ValueError("not an AUD1 payload")
-    (rate,) = struct.unpack_from("<I", payload, 4)
-    body = np.frombuffer(payload, dtype="<i2", offset=8)
-    return body.astype(np.float64) / 32767.0, rate
+    """bytes -> (float64 samples in [-1, 1], sample_rate).
+
+    Dispatch on the container: the AUD1 fake for the synthetic
+    fixtures, and REAL RIFF/WAVE PCM through the stdlib ``wave``
+    module — an actual decode path that runs in CI with no optional
+    dependency, mirroring the reference's decode-is-the-trusted-base
+    principle (decoder.rs:38-162).  Anything else is a poison row."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("payload too short to probe")
+    if payload[:4] == b"AUD1":
+        (rate,) = struct.unpack_from("<I", payload, 4)
+        body = np.frombuffer(payload, dtype="<i2", offset=8)
+        return body.astype(np.float64) / 32767.0, rate
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+        elif width == 1:  # unsigned 8-bit PCM per the WAV spec
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 127.0
+        else:
+            raise ValueError(f"unsupported PCM sample width {width}")
+        if n_ch > 1:  # downmix: mean over interleaved channels
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x, rate
+    raise ValueError("not an AUD1 or RIFF/WAVE payload")
 
 
 def audio_features(assets: DataFrame, kind: str = "audio") -> DataFrame:

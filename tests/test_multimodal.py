@@ -177,3 +177,56 @@ def test_real_container_without_pil_is_poison_row(spark):
     row = mm.decode_features(assets).collect()[0]
     assert row["width"] is None
     assert "codec" in row["error"]
+
+
+def test_audio_features_decodes_real_wav(spark):
+    """A REAL RIFF/WAVE PCM payload (stdlib `wave` writer — no optional
+    dependency) must decode through the actual container path: known
+    sine -> known rms/duration/zcr; a truncated WAV is a poison row,
+    not a task failure."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from audio_quality_checker_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+    s16 = (sine * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(s16.tobytes())
+    good = buf.getvalue()
+    # stereo variant: same signal duplicated -> downmix must be identical
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            np.repeat(s16, 2).tobytes()
+        )
+    stereo = buf2.getvalue()
+    corrupt = good[:40]  # RIFF header intact, data truncated mid-header
+
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(good), {}),
+         (2, "audio", bytearray(stereo), {}),
+         (3, "audio", bytearray(corrupt), {})],
+        "asset_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    assert rows[1]["error"] is None
+    assert rows[1]["n_samples"] == rate
+    assert abs(rows[1]["duration_s"] - 1.0) < 1e-9
+    # sine rms = amp/sqrt(2)
+    assert abs(rows[1]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(rows[2]["rms"] - rows[1]["rms"]) < 1e-9  # downmix identity
+    assert rows[3]["error"] is not None and rows[3]["n_samples"] is None

@@ -56,3 +56,40 @@ def test_spark_probe_matches_exact_oracle(spark):
     assert bloom_misses == exact_misses
     v = referential_violations(features, hosts, CheckSuite(), bloom=bloom).collect()
     assert len(v) == 1 and v[0]["violation_type"] == "ReferentialViolation"
+
+
+def test_bloom_build_refuses_unbroadcastable_filter(spark):
+    """A dimension whose Bloom would exceed the broadcastable bound must
+    refuse loudly with guidance, not OOM the driver (round-5 verdict:
+    documented-bound-plus-refusal, the bounds_simhash precedent)."""
+    import pytest as _pytest
+
+    from audio_quality_checker_spark.operators import referential as R
+
+    dim = spark.createDataFrame(
+        [(f"host{i}",) for i in range(64)], "host string"
+    )
+    old = R.DRIVER_BLOOM_MAX_BYTES
+    try:
+        R.DRIVER_BLOOM_MAX_BYTES = 8  # absurdly small: force the refusal
+        with _pytest.raises(ValueError, match="left_anti"):
+            R.build_bloom(dim, "host")
+    finally:
+        R.DRIVER_BLOOM_MAX_BYTES = old
+
+
+def test_bloom_distributed_build_tree_merges(spark):
+    """The >cap path (forced via the key threshold) must produce a
+    filter equivalent to the driver build: same members, no false
+    negatives."""
+    from audio_quality_checker_spark.operators import referential as R
+
+    hosts = [f"h{i}.example.com" for i in range(500)]
+    dim = spark.createDataFrame([(h,) for h in hosts], "host string")
+    old = R.DRIVER_BUILD_MAX_KEYS
+    try:
+        R.DRIVER_BUILD_MAX_KEYS = 10  # force the distributed path
+        bf = R.build_bloom(dim, "host")
+    finally:
+        R.DRIVER_BUILD_MAX_KEYS = old
+    assert all(bf.contains_many(hosts))
