@@ -35,6 +35,60 @@ REPORT_DDL = (
 )
 
 
+def augment_expectations(expected: DataFrame, near_dup: bool = False,
+                         repetition: bool = False) -> DataFrame:
+    """Fixture-golden expectations for the OPT-IN gates, layered onto the
+    base labeled table (partition_key, category, should_pass,
+    expected_violation_types).
+
+    The base golden (sources.pages.CATEGORIES) describes the default
+    suite; the opt-in detectors have their own golden facts on the
+    synthetic corpus, verified empirically and pinned here so the
+    report tier can score them:
+
+    - ``near_dup``: the generator's template prose gives EVERY crawl
+      day a cross-doc near-dup population above the gate, so all 15
+      days gain ``NearDuplicationAnomaly`` and no day passes.  This is
+      the report-tier tripwire for the round-5 LSH recall bug class
+      (candidate metric != verify metric -> silent false negatives on
+      hot blocks): a recall regression surfaces as FN > 0 here.
+    - ``repetition``: only PaddedText's filler lines repeat within a
+      document, so exactly that day gains ``RepetitionAnomaly``.
+
+    Custom corpora should ship their own opt-in labels instead.
+    """
+    from pyspark.sql import functions as F
+
+    out = expected
+    if near_dup:
+        out = out.withColumn(
+            "expected_violation_types",
+            F.array_union(
+                "expected_violation_types",
+                F.array(F.lit("NearDuplicationAnomaly")),
+            ),
+        ).withColumn("should_pass", F.lit(False))
+    if repetition:
+        from audio_quality_checker_spark.sources.pages import partition_day
+
+        rep_day = partition_day("PaddedText")
+        out = out.withColumn(
+            "expected_violation_types",
+            F.when(
+                F.col("partition_key") == rep_day,
+                F.array_union(
+                    "expected_violation_types",
+                    F.array(F.lit("RepetitionAnomaly")),
+                ),
+            ).otherwise(F.col("expected_violation_types")),
+        ).withColumn(
+            "should_pass",
+            F.when(F.col("partition_key") == rep_day, F.lit(False))
+            .otherwise(F.col("should_pass")),
+        )
+    return out
+
+
 def quality_report(
     spark: SparkSession,
     pages: DataFrame,
