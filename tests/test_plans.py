@@ -221,3 +221,59 @@ def test_shard_by_weight_has_no_single_partition_funnel(spark):
     # broadcast 1-row aggregate, not an empty-partition window
     plan2 = fmt(shard_balance_report(out))
     assert "Window" not in plan2, plan2
+
+
+def test_stratified_sample_rank_limit_pushes_down(spark):
+    """The per-stratum sample must ride Spark 4's rank-limit pushdown:
+    a WindowGroupLimit below the final sort-window, so each map
+    partition ships only its local top-n per stratum instead of the
+    whole corpus through the stratum windows (same pin class as
+    bq_topk's two-phase candidate cut)."""
+    from audio_quality_checker_spark.operators.mixing import (
+        stratified_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+    )
+    plan = fmt(stratified_sample(df, "lang", 10))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_budget_mix_has_no_window_funnel(spark):
+    """budget_mix's per-stratum running total must be the two-phase
+    distributed prefix sum — never a per-stratum WindowExec (one task
+    per stratum = a 3*10^10-row task at 10^12 rows / ~30 langs) and
+    never an unpartitioned one.  Pin: no Window node anywhere, range
+    exchange present, and the join-back is a plain hash join."""
+    from audio_quality_checker_spark.operators.mixing import budget_mix
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") % 29 + 1).alias("n_tokens"),
+    )
+    plan = fmt(budget_mix(df, 300))
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_contamination_broadcasts_the_eval_side(spark):
+    """The eval gram dimension must broadcast; the corpus side of the
+    gram join must NOT be exchanged by gram (its only wide exchange is
+    the per-doc count agg)."""
+    from audio_quality_checker_spark.operators.mixing import (
+        contamination_report,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat_ws(
+            " ", F.lit("alpha beta gamma delta"),
+            F.col("id").cast("string")).alias("text"),
+    )
+    rep = contamination_report(df, df.limit(3), n=4)
+    plan = fmt(rep)
+    assert "BroadcastHashJoin" in plan, plan
