@@ -722,7 +722,8 @@ class _GuardedRoutes:
 
 def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
                     lang_col: str, threshold: float, block_cap: int,
-                    hot_route: str = "pairs") -> _GuardedRoutes:
+                    hot_route: str = "pairs",
+                    star_reps: int = 1) -> _GuardedRoutes:
     """Shared plan builder for the guarded near-dup family.
 
     Blocks on (lang, length-bucket) with ADJACENT-BUCKET PROBING: every
@@ -746,16 +747,26 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
           lang).  Recall per true pair is the banding collision
           probability (~0.87 at j=0.5, ~0.99 at j=0.7 with 128/32);
           candidate volume in a dense bucket is O(bucket^2).
-      "star"  — each doc only against the MIN-ID REPRESENTATIVE of each
-          of its band buckets: O(bucket) candidates per bucket,
-          O(n*bands) total, independent of cluster density.  On
-          mutually-similar clusters (template spam — exactly the case
-          that makes "pairs" quadratic) every member verifies against a
-          rep, so the edges span the same connected components; a doc
-          whose only near-dup is a non-representative co-bucketed doc
-          has up to `bands` independent rep chances but no exhaustive
-          guarantee (the honest caveat; asserted equal on the planted
-          fixtures and the template corpus by tests/bounds gates).
+      "star"  — each doc only against the ``star_reps`` SMALLEST-ID
+          REPRESENTATIVES of each of its band buckets: O(bucket *
+          star_reps) candidates per bucket, O(n * bands * star_reps)
+          total, independent of cluster density.  On mutually-similar
+          clusters (template spam — exactly the case that makes
+          "pairs" quadratic) every member verifies against a rep, so
+          the edges span the same connected components; a doc whose
+          only near-dups are non-representative co-bucketed docs has
+          up to `bands * star_reps` independent rep chances but no
+          exhaustive guarantee.  The miss is ONE-SIDED (an edge is
+          only ever a verified true pair, so star merges are a subset
+          of pair-surface merges: keep-one keeps a SUPERSET — the
+          conservative direction for corpus prep, which must never
+          destroy unique content).  At high thresholds clusters stop
+          being cliques and connectivity runs through CHAINS the star
+          cannot replay (sf1 @ t=0.8 cap=5000: K=1 leaves 14.7% more
+          survivors than the pair surface; see BENCH/SF1.md round-6
+          A/B); raising ``star_reps`` buys recall linearly in edge
+          volume.  Asserted equal on the planted fixtures and the
+          t=0.5 template corpus by tests/bounds gates.
     """
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
@@ -958,7 +969,7 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
             )
             .distinct()
         )
-    elif hot_route == "star":
+    elif hot_route == "star" and star_reps <= 1:
         # star candidates: rep = bucket min id, via a PARTITIONED window
         # min over a (doc_id, len_blk) struct (ids are unique, so the
         # lexicographic struct min is the min-id row and carries its
@@ -975,6 +986,38 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
             .where(F.abs(F.col("len_blk") - F.col("rep.len_blk")) <= 1)
             .select(
                 F.col("rep.doc_id").alias("id_a"),  # rep is min => id_a < id_b
+                F.col("doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+    elif hot_route == "star":
+        # K-anchor star: the star_reps smallest-id rows per band bucket
+        # are the bucket's anchors; every co-bucketed doc (incl. the
+        # other anchors) verifies against each.  The rank window is
+        # partitioned per bucket and rank <= K plans as a
+        # WindowGroupLimit (map-side prune to K per bucket before the
+        # exchange); the anchors table is O(buckets * K) narrow rows
+        # joined back on the bucket key — co-partitioned with the
+        # banding shuffle, no broadcast needed.  doc_id > rep_id keeps
+        # each candidate once with id_a < id_b and drops self-pairs.
+        from pyspark.sql import Window as W
+
+        wr = W.partitionBy("lang", "band_idx", "band_hash").orderBy("doc_id")
+        reps = (
+            sigs.withColumn("__rk", F.row_number().over(wr))
+            .where(F.col("__rk") <= star_reps)
+            .select(
+                "lang", "band_idx", "band_hash",
+                F.col("doc_id").alias("rep_id"),
+                F.col("len_blk").alias("rep_blk"),
+            )
+        )
+        cands = (
+            sigs.join(reps, ["lang", "band_idx", "band_hash"])
+            .where(F.col("doc_id") > F.col("rep_id"))
+            .where(F.abs(F.col("len_blk") - F.col("rep_blk")) <= 1)
+            .select(
+                F.col("rep_id").alias("id_a"),
                 F.col("doc_id").alias("id_b"),
             )
             .distinct()
@@ -1036,7 +1079,8 @@ def jaccard_edges_guarded(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", lang_col: str = "lang",
                           threshold: float = 0.5,
                           block_cap: int = 5_000,
-                          exact_route: str = "certificate") -> DataFrame:
+                          exact_route: str = "certificate",
+                          star_reps: int = 8) -> DataFrame:
     """(id_a, id_b, jaccard): O(n)-output verified EDGES spanning the
     guarded surface's duplicate clusters — the keep-one/components feed
     at crawl scale, where the full pair list grows O(cluster^2) on
@@ -1069,7 +1113,8 @@ def jaccard_edges_guarded(df: DataFrame, id_col: str = "doc_id",
     Edges from the two routes are unioned and per-edge deduplicated.
     Returned persisted/materialized; callers may unpersist."""
     routes = _guarded_routes(df, id_col, text_col, lang_col, threshold,
-                             block_cap, hot_route="star")
+                             block_cap, hot_route="star",
+                             star_reps=star_reps)
     exact = routes.exact_pairs
     if exact_route == "certificate":
         def _cert(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1127,7 +1172,8 @@ def jaccard_edges_guarded(df: DataFrame, id_col: str = "doc_id",
 def near_dup_members_guarded(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", lang_col: str = "lang",
                              threshold: float = 0.5,
-                             block_cap: int = 5_000) -> DataFrame:
+                             block_cap: int = 5_000,
+                             star_reps: int = 8) -> DataFrame:
     """(id_col): the distinct documents that have at least one verified
     near-duplicate — the MEMBERSHIP surface the verdict gate consumes.
 
@@ -1139,7 +1185,8 @@ def near_dup_members_guarded(df: DataFrame, id_col: str = "doc_id",
     Hot-block membership comes from verified star edges (recall caveat
     in _guarded_routes)."""
     routes = _guarded_routes(df, id_col, text_col, lang_col, threshold,
-                             block_cap, hot_route="star")
+                             block_cap, hot_route="star",
+                             star_reps=star_reps)
     both = routes.exact_pairs.select("id_a", "id_b", "jaccard").unionByName(
         routes.hot_pairs
     )
