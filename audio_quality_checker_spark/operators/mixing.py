@@ -9,10 +9,9 @@ Three operators, each chosen for a plan that survives 10^12 rows:
       Dodge et al. 2021 n-gram-overlap check): flag documents sharing
       any word n-gram with an evaluation set.  The eval side is
       distinct-collapsed and BROADCAST (eval suites are KB-to-MB scale
-      by nature; a loud refusal guards the assumption) so the corpus
-      side never shuffles its grams — the only exchange is the final
-      per-doc count aggregation, which map-side-combines to ~one row
-      per doc per input partition.
+      by nature; a loud refusal guards the assumption), and the corpus
+      job is MAP-ONLY — vectorized per-batch gram building + a
+      broadcast-set probe, zero exchanges end to end.
 
   stratified_sample(df, strata_col, n_per_stratum)
       Deterministic uniform sample of min(n, |stratum|) rows per
@@ -43,7 +42,10 @@ follow the public literature cited above.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.storagelevel import StorageLevel
@@ -51,7 +53,59 @@ from pyspark.storagelevel import StorageLevel
 #: contamination_report refuses to broadcast an eval gram set larger
 #: than this — at that point it is not an "eval suite" any more and the
 #: caller should run the dedup surfaces (operators/dedup.py) instead.
-MAX_EVAL_GRAMS = 5_000_000
+#: The bound is per-worker memory math, not taste: the gram set ships
+#: to every Python worker as a pickled set (~120 B per 4-word gram
+#: incl. hash-slot overhead), so 2M grams ≈ 240 MB per worker — the
+#: largest footprint a 4-8 GB executor slot absorbs without eviction.
+MAX_EVAL_GRAMS = 2_000_000
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _py_word_ngrams(texts, n: int) -> pd.DataFrame:
+    """Vectorized per-doc DISTINCT word n-grams over a pandas string
+    Series: returns columns ``d`` (int position into ``texts``) and
+    ``g`` (space-joined gram).  Semantically identical to
+    ``word_ngrams`` (pytest-pinned equality on fixture text) but built
+    flat across the whole Arrow batch: one token array for all docs,
+    gram strings by n-way shifted ``str.cat``, doc boundaries masked
+    positionally.  Exists because Catalyst higher-order functions
+    (transform/filter lambdas) are CodegenFallback — interpreted
+    per element — which made the gram explode the whole cost of
+    decontamination at sf1 (~35 s of a 43 s query; the winnowing
+    fingerprint precedent, text_stats.py)."""
+    tok_lists = [
+        [t for t in _NORM_RE.split(txt.lower()) if t]
+        if isinstance(txt, str)
+        else []
+        for txt in texts
+    ]
+    counts = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    total = int(counts.sum())
+    if total < n:
+        return pd.DataFrame({"d": np.empty(0, np.int64),
+                             "g": pd.Series([], dtype=object)})
+    flat = pd.Series(
+        [t for ts in tok_lists for t in ts], dtype=object, copy=False
+    )
+    doc_pos = np.repeat(np.arange(len(tok_lists), dtype=np.int64), counts)
+    if n == 1:
+        gram = flat
+        valid = np.ones(total, dtype=bool)
+    else:
+        gram = flat.str.cat([flat.shift(-k) for k in range(1, n)], sep=" ")
+        # a gram starting at i is real iff token i+n-1 exists and lives
+        # in the same doc
+        valid = np.zeros(total, dtype=bool)
+        valid[: total - n + 1] = (
+            doc_pos[: total - n + 1] == doc_pos[n - 1:]
+        )
+    out = pd.DataFrame(
+        {"d": doc_pos[valid], "g": gram.to_numpy()[valid]}
+    )
+    return out.drop_duplicates()
 
 
 def word_ngrams(text_col, n: int):
@@ -87,45 +141,82 @@ def contamination_report(
     sharing >= 1 distinct word n-gram with ``eval_df`` —  the rows a
     training-data pipeline quarantines before the mix.
 
-    Scale shape: the eval gram set is distinct-collapsed, counted, and
-    broadcast (refusing loudly above ``max_eval_grams`` — the
-    referential.py precedent: a silent giant broadcast is a driver
-    OOM, not a slow query).  Document grams are exploded and
-    per-doc-distinct'd in the same shuffle that computes the counts;
-    a doc's grams all originate in one input partition, so the
-    map-side partial distinct+count collapses them before the
-    exchange.  No corpus-side broadcast, no all-pairs stage.
+    Scale shape: the eval gram set is distinct-collapsed and collected
+    through a ``limit(max_eval_grams + 1)`` — the limit IS the refusal
+    guard (driver memory stays bounded even on a violating input; the
+    referential.py exact-keys precedent: a silent giant broadcast is a
+    driver OOM, not a slow query) — then shipped to the Python workers
+    as a broadcast set.  The corpus job is then MAP-ONLY: each Arrow
+    batch tokenizes vectorized (``_py_word_ngrams`` — Catalyst HOF
+    lambdas are interpreted per element and were ~80% of this
+    operator's sf1 wall-clock), probes the broadcast set with a hashed
+    ``isin``, and emits one (id, n_grams, n_hits) row per contaminated
+    doc.  A doc's grams never leave its input partition — no exchange
+    at any stage, no corpus-side broadcast, no all-pairs stage.  Both
+    sides build grams with the SAME tokenizer, so eval/doc gram
+    identity cannot drift (the round-5 LSH lesson: candidate and
+    verify metrics must be the same metric).
     """
-    ev = (
-        eval_df.select(
-            F.explode(word_ngrams(F.col(eval_text_col), n)).alias("gram")
-        )
+
+    def _ev_grams(batches):
+        for pdf in batches:
+            dg = _py_word_ngrams(pdf[eval_text_col], n)
+            yield pd.DataFrame({"gram": dg["g"].unique()})
+
+    ev_rows = (
+        eval_df.where(F.col(eval_text_col).isNotNull())
+        .select(eval_text_col)
+        .mapInPandas(_ev_grams, schema="gram string")
         .distinct()
+        .limit(max_eval_grams + 1)
+        .collect()
     )
-    n_ev = ev.count()
-    if n_ev > max_eval_grams:
+    if len(ev_rows) > max_eval_grams:
         raise ValueError(
-            f"eval set yields {n_ev} distinct {n}-grams > max_eval_grams="
-            f"{max_eval_grams}; that is corpus-scale, not eval-scale — "
-            "use operators/dedup.py surfaces instead of a broadcast"
+            f"eval set yields > max_eval_grams={max_eval_grams} distinct "
+            f"{n}-grams; that is corpus-scale, not eval-scale — use "
+            "operators/dedup.py surfaces instead of a broadcast"
         )
-    doc_grams = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        .dropDuplicates([id_col, "gram"])
+    spark = docs.sparkSession
+    ev_bc = spark.sparkContext.broadcast(
+        frozenset(r["gram"] for r in ev_rows)
     )
-    hit = F.broadcast(ev.withColumn("__hit", F.lit(1)))
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType, True),
+            StructField("n_grams", LongType(), False),
+            StructField("n_hits", LongType(), False),
+        ]
+    )
+
+    def _score(batches):
+        ev = ev_bc.value
+        for pdf in batches:
+            dg = _py_word_ngrams(pdf[text_col], n)
+            if len(dg) == 0:
+                continue
+            hits = dg["g"].isin(ev).to_numpy()
+            agg = (
+                pd.DataFrame({"d": dg["d"].to_numpy(), "h": hits})
+                .groupby("d", sort=False)["h"]
+                .agg(n_grams="size", n_hits="sum")
+                .reset_index()
+            )
+            agg = agg[agg["n_hits"] > 0]
+            if len(agg) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[agg["d"].to_numpy()],
+                    "n_grams": agg["n_grams"].to_numpy(dtype="int64"),
+                    "n_hits": agg["n_hits"].to_numpy(dtype="int64"),
+                }
+            )
+
     return (
-        doc_grams.join(hit, "gram", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("__hit").alias("n_hits"),
-        )
-        .where(F.col("n_hits") > 0)
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, text_col)
+        .mapInPandas(_score, schema=out_schema)
         .withColumn(
             "contamination_frac",
             F.round(F.col("n_hits") / F.col("n_grams"), 6),

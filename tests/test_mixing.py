@@ -88,6 +88,40 @@ def test_contamination_dup_grams_counted_once(spark):
     assert got[1]["n_hits"] == 1
 
 
+def test_py_ngrams_matches_catalyst_spec(spark):
+    """The vectorized batch route (_py_word_ngrams — what
+    contamination_report executes) must produce the exact DISTINCT
+    gram sets of the Catalyst word_ngrams spec, including unicode
+    lowering, punctuation runs, short/empty/null texts and dup grams."""
+    import pandas as pd
+
+    from audio_quality_checker_spark.operators.mixing import (
+        _py_word_ngrams,
+    )
+
+    texts = [
+        "The  Quick, BROWN fox-jumps  over",
+        "Füße über äll 123 STRAßE and more words",   # unicode folds out
+        "short one",                                  # < n tokens
+        "",                                           # empty
+        None,                                         # null
+        "a b c a b c a b c",                          # dup grams
+        "ONE two THREE four five SIX seven",
+        "tabs\tand\nnewlines   mixed;punct!!here now",
+    ]
+    n = 3
+    got = _py_word_ngrams(pd.Series(texts, dtype=object), n)
+    got_sets = {
+        int(d): set(g["g"]) for d, g in got.groupby("d")
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).select("i", word_ngrams(F.col("text"), n).alias("g"))
+    for r in df.collect():
+        want = set(r["g"] or [])
+        assert got_sets.get(r["i"], set()) == want, r["i"]
+
+
 def test_contamination_broadcast_refusal(spark):
     docs = _docs(spark, [(0, "en", "a b c d e f g h i j")])
     with pytest.raises(ValueError, match="max_eval_grams"):

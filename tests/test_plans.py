@@ -259,10 +259,11 @@ def test_budget_mix_has_no_window_funnel(spark):
     assert "rangepartitioning" in plan.lower(), plan
 
 
-def test_contamination_broadcasts_the_eval_side(spark):
-    """The eval gram dimension must broadcast; the corpus side of the
-    gram join must NOT be exchanged by gram (its only wide exchange is
-    the per-doc count agg)."""
+def test_contamination_corpus_pass_is_map_only(spark):
+    """The corpus job must be a single map-only pass: vectorized gram
+    build + broadcast-set probe inside one MapInPandas over the scan —
+    no Exchange, no join, no Window anywhere in the corpus plan (the
+    eval set ships as a Python broadcast, not a join side)."""
     from audio_quality_checker_spark.operators.mixing import (
         contamination_report,
     )
@@ -276,4 +277,6 @@ def test_contamination_broadcasts_the_eval_side(spark):
     )
     rep = contamination_report(df, df.limit(3), n=4)
     plan = fmt(rep)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    for node in ("Exchange", "Join", "Window", "Sort"):
+        assert node not in plan, (node, plan)
