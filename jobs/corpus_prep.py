@@ -20,13 +20,20 @@ toward, as ONE job over the documents table:
      connected components -> keep one representative per cluster
   4. document filters — Gopher dup-line fraction and the composite
      quality score, both pure Catalyst expressions
-  5. BPE token budget — merges trained on a bounded deterministic
-     sample of the SURVIVING corpus, exact distributed counts per lang
+  5. eval-set decontamination (opt-in, --eval-set): quarantine every
+     doc sharing a word n-gram with the evaluation suite
+     (operators/mixing.py contamination_report — map-only corpus pass)
+  6. BPE token count — merges trained on a bounded deterministic
+     sample of the SURVIVING corpus, exact distributed counts per doc
+  7. token-budget mix (opt-in, --token-budget): per-lang deterministic
+     hash-ordered prefix until the budget is admitted
+     (operators/mixing.py budget_mix — the two-phase distributed
+     prefix sum, never a per-stratum window funnel)
 
-Outputs: the filtered corpus under <out>/corpus (with lang_id, quality
-and repetition columns attached), a per-lang budget table under
-<out>/budget, and ONE JSON line on stdout with per-stage counts — the
-shard-level report a data pipeline records per ingest.
+Outputs: the filtered corpus under <out>/corpus (with lang_id, quality,
+repetition and exact bpe_tokens columns attached), a per-lang budget
+table under <out>/budget, and ONE JSON line on stdout with per-stage
+counts — the shard-level report a data pipeline records per ingest.
 
 Every stage is the operator the rest of the repo tests and bounds-gates
 (operators/dedup.py, operators/components.py, functions/text_stats.py,
@@ -67,6 +74,18 @@ def main(argv=None) -> int:
                     help="Gopher dup-line fraction cap")
     ap.add_argument("--bpe-vocab", type=int, default=384,
                     help="BPE vocab size for the budget count")
+    ap.add_argument("--eval-set", default=None,
+                    help="parquet of evaluation docs (text column); "
+                         "when given, docs sharing any word n-gram "
+                         "with it are quarantined before the budget")
+    ap.add_argument("--decontam-ngram", type=int, default=8,
+                    help="n-gram length for the decontamination check "
+                         "(8-13 word runs per Brown et al. 2020)")
+    ap.add_argument("--token-budget", type=int, default=0,
+                    help="per-lang BPE token budget: keep the "
+                         "deterministic hash-ordered prefix per lang "
+                         "until this many tokens are admitted "
+                         "(0 = keep everything)")
     ap.add_argument("--shards", type=int, default=0,
                     help="write the corpus as N token-balanced shards "
                          "(serpentine over exact BPE counts; 0 = no "
@@ -167,11 +186,48 @@ def main(argv=None) -> int:
     n_kept = kept.count()
     deduped.unpersist()
 
-    # 5. BPE budget over the SURVIVING corpus
+    # 5. eval-set decontamination (opt-in): quarantine every doc
+    # sharing a word n-gram with the eval suite.  Placed after the
+    # filters so the map-only contamination pass scans the smallest
+    # corpus; left_anti keeps the clean side.
+    if args.eval_set:
+        from audio_quality_checker_spark.operators.mixing import (
+            contamination_report,
+        )
+
+        ev = spark.read.parquet(args.eval_set)
+        contaminated = contamination_report(
+            kept, ev, n=args.decontam_ngram
+        ).select("doc_id")
+        clean = kept.join(contaminated, "doc_id", "left_anti")
+        clean.persist()
+        n_clean = clean.count()
+        kept.unpersist()
+        kept = clean
+    else:
+        n_clean = n_kept
+
+    # 6. exact BPE token counts over the SURVIVING corpus; 7. opt-in
+    # per-lang token-budget prefix (the two-phase distributed prefix
+    # sum — never a per-stratum window funnel).  ONE counted frame
+    # feeds the budget mix, the per-lang budget table, the corpus sink
+    # and the shard writer (previously the shards path re-ran the BPE
+    # count from scratch).
     merges = train_bpe(kept, vocab_size=args.bpe_vocab)
+    counted = bpe_token_counts(kept, merges)
+    if args.token_budget:
+        from audio_quality_checker_spark.operators.mixing import (
+            budget_mix,
+        )
+
+        counted = budget_mix(
+            counted, args.token_budget, "lang", "bpe_tokens"
+        ).drop("cum_before")
+    counted.persist()
+    n_final = counted.count()
+    kept.unpersist()
     budget = (
-        bpe_token_counts(kept, merges)
-        .groupBy("lang")
+        counted.groupBy("lang")
         .agg(
             F.sum("bpe_tokens").alias("total_bpe_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
@@ -185,9 +241,7 @@ def main(argv=None) -> int:
             shard_by_weight,
         )
 
-        sharded = shard_by_weight(
-            bpe_token_counts(kept, merges), args.shards
-        )
+        sharded = shard_by_weight(counted, args.shards)
         sharded.write.mode("overwrite").partitionBy("shard").parquet(
             f"{args.out}/corpus"
         )
@@ -195,12 +249,12 @@ def main(argv=None) -> int:
             spark.read.parquet(f"{args.out}/corpus")
         ).write.mode("overwrite").parquet(f"{args.out}/shard_report")
     else:
-        kept.write.mode("overwrite").parquet(f"{args.out}/corpus")
+        counted.write.mode("overwrite").parquet(f"{args.out}/corpus")
     budget.write.mode("overwrite").parquet(f"{args.out}/budget")
     total_tokens = (
         budget.agg(F.sum("total_bpe_tokens")).collect()[0][0] or 0
     )
-    kept.unpersist()
+    counted.unpersist()
 
     print(json.dumps({
         "n_input": n_input,
@@ -209,6 +263,8 @@ def main(argv=None) -> int:
         "n_after_exact_dedup": n_exact,
         "n_after_near_dedup": n_dedup,
         "n_after_filters": n_kept,
+        "n_after_decontamination": n_clean,
+        "n_after_budget": n_final,
         "total_bpe_tokens": int(total_tokens),
         "n_bpe_merges": len(merges),
         "out": args.out,

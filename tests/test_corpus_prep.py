@@ -6,6 +6,7 @@ import json
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -89,6 +90,64 @@ def test_output_corpus(spark, prep_result):
     assert sum(r["total_bpe_tokens"] for r in budget) == report[
         "total_bpe_tokens"
     ]
+
+
+def test_decontamination_and_budget_stages(spark, tmp_path):
+    """Stage 5/7: a planted eval-overlap doc is quarantined (and ONLY
+    it), and --token-budget keeps the per-lang deterministic prefix —
+    budget reached, overshoot < one doc, bpe_tokens attached."""
+    import contextlib
+    import io
+
+    from jobs.corpus_prep import main
+
+    rng = __import__("random").Random(13)
+
+    def prose(i):
+        return " ".join(f"c{i}w{j}{rng.randrange(9)}" for j in range(60))
+
+    rows = [(i, "en" if i % 2 else "de", prose(i)) for i in range(30)]
+    # doc 50 embeds a verbatim 8-token run from eval doc 0's text
+    span = " ".join(rows[0][2].split()[10:18])
+    rows.append((50, "en", f"{prose(50)} {span} trailing words here"))
+
+    root = str(tmp_path)
+    docs = f"{root}/documents.parquet"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    ).write.mode("overwrite").parquet(docs)
+    # eval set = doc 0's text (so doc 0 self-hits and doc 50 hits)
+    ev = f"{root}/eval.parquet"
+    spark.createDataFrame(
+        pd.DataFrame([rows[0]], columns=["doc_id", "lang", "text"])
+    ).write.mode("overwrite").parquet(ev)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--docs", docs, "--out", f"{root}/out",
+                   "--min-quality", "0.0", "--eval-set", ev,
+                   "--token-budget", "400"])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_after_filters"] == 31
+    # exactly doc 0 (self-hit) and doc 50 (planted span) quarantined
+    assert report["n_after_decontamination"] == 29
+    assert report["n_after_budget"] < 29
+    corpus = spark.read.parquet(f"{root}/out/corpus")
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert ids.isdisjoint({0, 50})
+    assert "bpe_tokens" in corpus.columns
+    # budget semantics per lang: reached, overshoot < one doc
+    per = corpus.groupBy("lang").agg(
+        F.sum("bpe_tokens").alias("tot"),
+        F.max("bpe_tokens").alias("mx"),
+    ).collect()
+    assert len(per) == 2
+    for r in per:
+        assert r["tot"] >= 400
+        assert r["tot"] - r["mx"] < 400
+    # total_bpe_tokens reflects the BUDGETED corpus
+    assert report["total_bpe_tokens"] == sum(r["tot"] for r in per)
 
 
 def test_url_collapse_stage(spark, tmp_path):
