@@ -1928,6 +1928,132 @@ ORDER BY lang, cum_before_tokens
 """
 
 
+def q_pii_scrub(spark, sf):
+    """PII scrub + per-lang report (functions/pii.py): mask emails,
+    phones and IPv4s with sentinel tokens and report per-lang counts —
+    the privacy pass a corpus runs before release (Dolma's mask shape;
+    reference analog: normalize-at-ingest, decoder.rs:19).  The
+    synthetic prose carries no PII, so BOTH sides plant the same
+    deterministic spellings from doc_id (the q_url_canonical
+    planted-construction pattern): doc_id%5 = 0 email / 1 intl phone /
+    2 US phone / 3 dotted-quad IP / 4 untouched.  The report counts
+    occurrences BEFORE the scrub and asserts zero residual AFTER it —
+    the oracle value-matches counts, sentinel totals and residuals.
+    Pure Catalyst regexp expressions (map-only at 100 TB; patterns in
+    the Java-regex/RE2 shared subset so both engines agree exactly)."""
+    from audio_quality_checker_spark.functions.pii import (
+        pii_count_cols, residual_pii_col, scrub_pii_col,
+    )
+
+    d = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    sid = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            F.lit(" contact user"), sid, F.lit("@mail"),
+            (F.col("doc_id") % 3).cast("string"), F.lit(".example.com")))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" call +1 555-867-5309"))
+        .when(F.col("doc_id") % 5 == 2, F.concat(
+            F.lit(" dial 212-555-0"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    base = d.select(F.col("lang"), planted.alias("t"))
+    counts = pii_count_cols("t")
+    scrubbed = base.select(
+        "lang",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        scrub_pii_col("t").alias("clean"),
+    )
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_phone").alias("phones"),
+            F.sum("n_ipv4").alias("ips"),
+            F.sum(
+                F.when(
+                    F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")
+                    > 0, 1
+                ).otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum(residual_pii_col("clean")).alias("residual_after_scrub"),
+            F.sum(
+                F.regexp_count("clean", F.lit("<EMAIL>|<PHONE>|<IP>"))
+            ).alias("sentinels"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_PII_SCRUB = """
+WITH planted AS (
+  SELECT lang,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail' || CAST(doc_id % 3 AS VARCHAR)
+                    || '.example.com'
+           WHEN 1 THEN ' call +1 555-867-5309'
+           WHEN 2 THEN ' dial 212-555-0'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+           WHEN 3 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+           ELSE ''
+         END AS t
+  FROM documents WHERE text IS NOT NULL
+), counted AS (
+  SELECT lang,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+           AS n_email,
+         len(regexp_extract_all(t,
+             '\\+\\d{1,2}[ .-]\\d{3}[ .-]\\d{3}[ .-]\\d{4}'
+             || '|\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b')) AS n_phone,
+         len(regexp_extract_all(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+           AS n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+             '<IP>', 'g'),
+           '\\+\\d{1,2}[ .-]\\d{3}[ .-]\\d{3}[ .-]\\d{4}'
+           || '|\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b',
+           '<PHONE>', 'g') AS clean
+  FROM planted
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(n_ipv4) AS BIGINT) AS ips,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS docs_with_pii,
+       CAST(sum(
+         len(regexp_extract_all(clean,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(clean,
+             '\\+\\d{1,2}[ .-]\\d{3}[ .-]\\d{3}[ .-]\\d{4}'
+             || '|\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b'))
+         + len(regexp_extract_all(clean,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+       ) AS BIGINT) AS residual_after_scrub,
+       CAST(sum(len(regexp_extract_all(clean, '<EMAIL>|<PHONE>|<IP>')))
+         AS BIGINT) AS sentinels
+FROM counted
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1990,6 +2116,7 @@ REGISTRY: dict[str, tuple] = {
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
 
 
