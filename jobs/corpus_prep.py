@@ -23,9 +23,12 @@ toward, as ONE job over the documents table:
   5. eval-set decontamination (opt-in, --eval-set): quarantine every
      doc sharing a word n-gram with the evaluation suite
      (operators/mixing.py contamination_report — map-only corpus pass)
-  6. BPE token count — merges trained on a bounded deterministic
+  6. PII scrub (opt-in, --scrub-pii): mask emails/phones/IPv4s with
+     sentinel tokens before anything is counted or written
+     (functions/pii.py — map-only Catalyst regexp pass)
+  7. BPE token count — merges trained on a bounded deterministic
      sample of the SURVIVING corpus, exact distributed counts per doc
-  7. token-budget mix (opt-in, --token-budget): per-lang deterministic
+  8. token-budget mix (opt-in, --token-budget): per-lang deterministic
      hash-ordered prefix until the budget is admitted
      (operators/mixing.py budget_mix — the two-phase distributed
      prefix sum, never a per-stratum window funnel)
@@ -81,6 +84,10 @@ def main(argv=None) -> int:
     ap.add_argument("--decontam-ngram", type=int, default=8,
                     help="n-gram length for the decontamination check "
                          "(8-13 word runs per Brown et al. 2020)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="mask emails/phones/IPv4s with sentinel "
+                         "tokens before token counting (map-only "
+                         "Catalyst regexp pass, functions/pii.py)")
     ap.add_argument("--token-budget", type=int, default=0,
                     help="per-lang BPE token budget: keep the "
                          "deterministic hash-ordered prefix per lang "
@@ -207,7 +214,30 @@ def main(argv=None) -> int:
     else:
         n_clean = n_kept
 
-    # 6. exact BPE token counts over the SURVIVING corpus; 7. opt-in
+    # 6. PII scrub (opt-in): mask emails/phones/IPs with sentinel
+    # tokens BEFORE token counting, so budgets and shards reflect the
+    # text that actually ships.  Map-only Catalyst regexp pass
+    # (functions/pii.py); the counter records docs that carried PII.
+    if args.scrub_pii:
+        from audio_quality_checker_spark.functions.pii import (
+            pii_count_cols, scrub_pii_col,
+        )
+
+        # count on the still-persisted pre-scrub frame, then swap in
+        # the scrubbed frame with the materialize-then-release pattern
+        # (the later kept.unpersist() must hit the frame that holds
+        # the cache)
+        had_pii = sum(pii_count_cols("text").values(), F.lit(0)) > 0
+        n_pii = kept.where(had_pii).count()
+        scrubbed = kept.withColumn("text", scrub_pii_col("text"))
+        scrubbed.persist()
+        scrubbed.count()
+        kept.unpersist()
+        kept = scrubbed
+    else:
+        n_pii = 0
+
+    # 7. exact BPE token counts over the SURVIVING corpus; 8. opt-in
     # per-lang token-budget prefix (the two-phase distributed prefix
     # sum — never a per-stratum window funnel).  ONE counted frame
     # feeds the budget mix, the per-lang budget table, the corpus sink
@@ -264,6 +294,7 @@ def main(argv=None) -> int:
         "n_after_near_dedup": n_dedup,
         "n_after_filters": n_kept,
         "n_after_decontamination": n_clean,
+        "n_docs_pii_masked": n_pii,
         "n_after_budget": n_final,
         "total_bpe_tokens": int(total_tokens),
         "n_bpe_merges": len(merges),

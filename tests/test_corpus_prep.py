@@ -150,6 +150,58 @@ def test_decontamination_and_budget_stages(spark, tmp_path):
     assert report["total_bpe_tokens"] == sum(r["tot"] for r in per)
 
 
+def test_pii_scrub_stage(spark, tmp_path):
+    """Stage 6 (--scrub-pii): planted email/phone docs are masked in
+    the output corpus (sentinels present, raw PII gone), the counter
+    records exactly the docs that carried PII, and without the flag
+    the text ships untouched."""
+    import contextlib
+    import io
+
+    from jobs.corpus_prep import main
+
+    rng = __import__("random").Random(17)
+
+    def prose(i):
+        return " ".join(f"p{i}w{j}{rng.randrange(9)}" for j in range(60))
+
+    rows = [(i, "en" if i % 2 else "de", prose(i)) for i in range(20)]
+    rows.append((70, "en", prose(70) + " reach me at bob@example.org ok"))
+    rows.append((71, "de", prose(71) + " call +1 555-867-5309 now"))
+
+    root = str(tmp_path)
+    docs = f"{root}/documents.parquet"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    ).write.mode("overwrite").parquet(docs)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--docs", docs, "--out", f"{root}/out",
+                   "--min-quality", "0.0", "--scrub-pii"])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_docs_pii_masked"] == 2
+    corpus = spark.read.parquet(f"{root}/out/corpus")
+    pii_rows = {r["doc_id"]: r["text"]
+                for r in corpus.where(F.col("doc_id") >= 70).collect()}
+    assert "<EMAIL>" in pii_rows[70] and "bob@example.org" not in pii_rows[70]
+    assert "<PHONE>" in pii_rows[71] and "555-867-5309" not in pii_rows[71]
+
+    # without the flag: counter 0, raw PII ships
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main(["--docs", docs, "--out", f"{root}/out2",
+                   "--min-quality", "0.0"])
+    assert rc == 0
+    report2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert report2["n_docs_pii_masked"] == 0
+    raw = spark.read.parquet(f"{root}/out2/corpus").where(
+        F.col("doc_id") == 70
+    ).collect()[0]["text"]
+    assert "bob@example.org" in raw
+
+
 def test_url_collapse_stage(spark, tmp_path):
     """Stage 0: planted canonical-url variants collapse to the
     first-crawled doc; docs without variants (and docs with null url)
