@@ -2054,6 +2054,83 @@ ORDER BY lang
 """
 
 
+def q_line_dedup(spark, sf):
+    """Line-level boilerplate dedup (operators/boilerplate.py): remove
+    lines that appear in >= 5 distinct documents — the nav-menu /
+    cookie-banner / footer pass (C4 three-sentence-span dedup, Dolma
+    paragraph dedup) that doc-level MinHash can never catch.  The
+    synthetic prose is single-line, so BOTH sides build the same
+    deterministic multi-line docs (the q_url_canonical construction):
+    a shared nav line on even doc_ids, a unique content line always, a
+    shared footer on doc_id%3==0.  Output is the REBUILT text per doc
+    plus the removal count, so the oracle value-matches the exact
+    reconstruction (order restored, boiler gone, uniques untouched)."""
+    from audio_quality_checker_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    d = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    ml = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("home | products | contact")),
+                F.concat(F.lit("doc "),
+                         F.col("doc_id").cast("string"),
+                         F.lit(": "), F.substring("text", 1, 80)),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("copyright 2025 example inc")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        "\n",
+    )
+    base = d.select("doc_id", "lang", ml.alias("text"))
+    out = remove_boilerplate_lines(base, min_doc_freq=5)
+    return out.select(
+        "doc_id", "lang", "n_lines_removed",
+        F.col("text").alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+SQL_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id, lang,
+         array_to_string(list_filter([
+           CASE WHEN doc_id % 2 = 0 THEN 'home | products | contact' END,
+           'doc ' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 80),
+           CASE WHEN doc_id % 3 = 0 THEN 'copyright 2025 example inc' END
+         ], x -> x IS NOT NULL), chr(10)) AS t
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id, lang,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM base
+), boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df
+    FROM lines WHERE trim(line) != '' GROUP BY line
+  ) WHERE df >= 5
+), surv AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+  WHERE b.line IS NULL
+), reb AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM surv GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang,
+       CAST(len(string_split(t.t, chr(10))) - coalesce(r.n_kept, 0)
+         AS BIGINT) AS n_lines_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2117,6 +2194,7 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
 }
 
 
