@@ -11,6 +11,10 @@ toward, as ONE job over the documents table:
      scheme/host case, default ports, fragments, tracking params) —
      the cheapest dedup a crawl pipeline runs, before any content pass
   1. drop null/empty-text docs (unusable rows, counted)
+  1b. line-level boilerplate removal (opt-in, --line-dedup-df):
+     strip lines shared by >= N distinct docs BEFORE content dedup
+     (operators/boilerplate.py), so nav/banner/footer lines neither
+     ship nor glue unrelated pages into near-dup clusters
   2. exact dedup  — md5 hash-groupBy, keep the minimum doc_id
   3. near-dup dedup — guarded hybrid EDGE search (exact-route sparse
      connectivity certificate within bounded (lang, length-bucket)
@@ -84,6 +88,10 @@ def main(argv=None) -> int:
     ap.add_argument("--decontam-ngram", type=int, default=8,
                     help="n-gram length for the decontamination check "
                          "(8-13 word runs per Brown et al. 2020)")
+    ap.add_argument("--line-dedup-df", type=int, default=0,
+                    help="remove lines appearing in >= N distinct "
+                         "docs before content dedup (boilerplate "
+                         "pass, operators/boilerplate.py; 0 = off)")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="mask emails/phones/IPv4s with sentinel "
                          "tokens before token counting (map-only "
@@ -150,6 +158,33 @@ def main(argv=None) -> int:
     )
     usable.persist()
     n_usable = usable.count()
+
+    # 1b. line-level boilerplate removal (opt-in, --line-dedup-df):
+    # strip lines shared by >= N distinct docs BEFORE content dedup,
+    # so nav menus / banners / footers neither survive into training
+    # text nor glue unrelated pages into near-dup clusters.  Docs
+    # reduced to nothing re-enter the usability gate here.
+    if args.line_dedup_df:
+        from audio_quality_checker_spark.operators.boilerplate import (
+            remove_boilerplate_lines,
+        )
+
+        stripped = remove_boilerplate_lines(
+            usable, min_doc_freq=args.line_dedup_df
+        )
+        cleaned = stripped.where(
+            F.length(F.trim("text")) > 0
+        ).drop("n_lines_removed")
+        cleaned.persist()
+        n_line_cleaned = cleaned.count()
+        n_lines_removed = int(
+            stripped.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+        )
+        usable.unpersist()
+        usable = cleaned
+    else:
+        n_line_cleaned = n_usable
+        n_lines_removed = 0
 
     # 2. exact dedup (hash-groupBy keep-min — one shuffle of (hash, id))
     keep_ids = (
@@ -290,6 +325,8 @@ def main(argv=None) -> int:
         "n_input": n_input,
         "n_after_url_dedup": n_url,
         "n_usable": n_usable,
+        "n_after_line_dedup": n_line_cleaned,
+        "n_boiler_lines_removed": n_lines_removed,
         "n_after_exact_dedup": n_exact,
         "n_after_near_dedup": n_dedup,
         "n_after_filters": n_kept,

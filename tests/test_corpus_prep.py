@@ -150,6 +150,54 @@ def test_decontamination_and_budget_stages(spark, tmp_path):
     assert report["total_bpe_tokens"] == sum(r["tot"] for r in per)
 
 
+def test_line_dedup_stage(spark, tmp_path):
+    """Stage 1b (--line-dedup-df): a nav line shared by every doc is
+    stripped (counter counts instances), unique bodies survive, a doc
+    that was ONLY boilerplate drops out at the re-usability gate, and
+    without the flag the counters are passthrough."""
+    import contextlib
+    import io
+
+    from jobs.corpus_prep import main
+
+    rng = __import__("random").Random(23)
+
+    def prose(i):
+        return " ".join(f"b{i}w{j}{rng.randrange(9)}" for j in range(60))
+
+    nav = "home | products | contact"
+    rows = [(i, "en" if i % 2 else "de", f"{nav}\n{prose(i)}")
+            for i in range(20)]
+    rows.append((90, "en", nav))          # boiler-only page
+    root = str(tmp_path)
+    docs = f"{root}/documents.parquet"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    ).write.mode("overwrite").parquet(docs)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--docs", docs, "--out", f"{root}/out",
+                   "--min-quality", "0.0", "--line-dedup-df", "3"])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_usable"] == 21
+    assert report["n_after_line_dedup"] == 20      # boiler-only doc out
+    assert report["n_boiler_lines_removed"] == 21  # one instance per doc
+    corpus = spark.read.parquet(f"{root}/out/corpus")
+    assert corpus.where(F.col("text").contains(nav)).count() == 0
+    assert corpus.where(F.col("doc_id") == 90).count() == 0
+
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main(["--docs", docs, "--out", f"{root}/out2",
+                   "--min-quality", "0.0"])
+    assert rc == 0
+    report2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert report2["n_after_line_dedup"] == 21
+    assert report2["n_boiler_lines_removed"] == 0
+
+
 def test_pii_scrub_stage(spark, tmp_path):
     """Stage 6 (--scrub-pii): planted email/phone docs are masked in
     the output corpus (sentinels present, raw PII gone), the counter
