@@ -280,3 +280,48 @@ def test_contamination_corpus_pass_is_map_only(spark):
     assert "MapInPandas" in plan, plan
     for node in ("Exchange", "Join", "Window", "Sort"):
         assert node not in plan, (node, plan)
+
+
+def test_line_dedup_is_hash_partitioned_no_quadratic(spark):
+    """remove_boilerplate_lines must stay hash-partitioned end to end:
+    doc-frequency via map-side-partial distinct on (line_hash, doc)
+    then count per line_hash, anti-join back, rebuild grouped on doc.
+    Pin: a hashpartitioning exchange on the line hash, a partial
+    aggregate below it, and NO cartesian/BNLJ/Window anywhere (the
+    boiler set must never become an all-pairs or single-task stage)."""
+    from audio_quality_checker_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n", F.lit("shared nav line"),
+            F.concat(F.lit("body "), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    plan = fmt(remove_boilerplate_lines(df, min_doc_freq=3))
+    assert "hashpartitioning(line_hash" in plan, plan
+    assert "partial_count" in plan, plan
+    for node in ("CartesianProduct", "BroadcastNestedLoop", "Window"):
+        assert node not in plan, (node, plan)
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    """scrub_pii_col + pii_count_cols must stay inside the projection —
+    no Exchange, no UDF/Python node: the scrub is whole-stage-codegen
+    regexp work that fuses into the feeding scan."""
+    from audio_quality_checker_spark.functions.pii import (
+        pii_count_cols, scrub_pii_col,
+    )
+
+    df = spark.range(20).select(
+        F.concat(F.lit("reach me at a"), F.col("id").cast("string"),
+                 F.lit("@b.io")).alias("text"),
+    )
+    counts = pii_count_cols("text")
+    plan = fmt(df.select(scrub_pii_col("text").alias("clean"),
+                         *[v.alias(k) for k, v in counts.items()]))
+    for node in ("Exchange", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython", "Join"):
+        assert node not in plan, (node, plan)
