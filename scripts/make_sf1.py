@@ -36,6 +36,31 @@ import pyarrow.parquet as pq
 
 OFF = 10_000_000  # per-replica key offset, far above any sf0.1 key
 
+N_FILES = 16  # payload tables are written as multi-file directories
+
+
+def write_sliced(tbl: "pa.Table", path: str, n_files: int = N_FILES):
+    """Write a table as a DIRECTORY of n_files parquet slices (small
+    row groups).  A single-file single-row-group layout caps every
+    Spark scan at ~1 task regardless of maxPartitionBytes (parquet
+    cannot split below row-group boundaries) — measured round 6: the
+    sf1 text queries ran 2 tasks on 32 cores.  A real crawl-scale
+    table is thousands of files; the fixture should look like one."""
+    if os.path.isfile(path):      # pre-slicing single-file layout
+        os.remove(path)
+    elif os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path)
+    step = (tbl.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = tbl.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(
+                sl, f"{path}/part-{i:04d}.parquet", row_group_size=8192
+            )
+
 RELATIONAL = {
     "lineitem": ["l_orderkey + {o} AS l_orderkey",
                  "l_partkey + {o} AS l_partkey",
@@ -121,7 +146,7 @@ def main() -> None:
             "n_chars": pa.array(out["n_chars"], pa.int64()),
         }
     )
-    pq.write_table(tbl, f"{args.out}/documents.parquet")
+    write_sliced(tbl, f"{args.out}/documents.parquet")
     print("documents", tbl.num_rows)
 
     # embeddings: circular roll per replica
@@ -143,7 +168,7 @@ def main() -> None:
             "label": pa.array(labels, pa.int32()),
         }
     )
-    pq.write_table(tbl, f"{args.out}/embeddings.parquet")
+    write_sliced(tbl, f"{args.out}/embeddings.parquet")
     print("embeddings", tbl.num_rows)
     print(f"sf1 written to {args.out}")
 
