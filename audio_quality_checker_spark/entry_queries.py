@@ -665,31 +665,76 @@ def q_jaccard_pairs(spark, sf):
     # the cap at sf<=0.1 (max 451), so the driver's oracle compare is
     # unaffected; the cap is mirrored in the SQL.  near_dup_pairs is the
     # engine's production surface — this stays the exact oracle.
+    #
+    # The within-block all-pairs compare runs as ONE vectorized numpy
+    # kernel per block (guide §4.2): the capped block's token sets are
+    # factorized into a 0/1 doc x token matrix and intersection counts
+    # come from a single GEMM — integer-exact, so the jaccard value,
+    # rounding and threshold stay Spark-side expressions IDENTICAL to
+    # the former expression-by-expression self-join (which evaluated an
+    # interpreted array_intersect per pair: 85 s of executor time on 3
+    # post-AQE tasks at sf1).  The kernel pre-filters with a safety
+    # margin below the threshold; the exact round()-filter stays in
+    # Spark, so emitted values are bit-identical.
+    import numpy as np
+    import pandas as pd
+
     d = load(spark, sf, "documents").select(
         "doc_id", "lang",
         F.floor(F.col("n_chars") / 100).alias("len_blk"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
     )
-    wcap = W.partitionBy("lang", "len_blk").orderBy("doc_id")
-    d = (
-        d.withColumn("_rn", F.row_number().over(wcap))
-        .where(F.col("_rn") <= 600)
-        .drop("_rn")
+    # null block keys can never satisfy the (lang, len_blk) equality the
+    # pair universe requires, and they form their own cap partitions —
+    # dropping them changes nothing
+    d = d.where(F.col("lang").isNotNull() & F.col("len_blk").isNotNull())
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").head(600)
+        toks = pdf["toks"].tolist()
+        ids = pdf["doc_id"].to_numpy()
+        valid = np.array([t is not None for t in toks])
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
+            "inter": np.empty(0, np.int32), "sa": np.empty(0, np.int32),
+            "sb": np.empty(0, np.int32),
+        })
+        if n < 2 or valid.sum() < 2:
+            return empty
+        lens = np.array([len(t) if v else 0 for t, v in zip(toks, valid)],
+                        dtype=np.int64)
+        flat = pd.Series(
+            [tok for t, v in zip(toks, valid) if v for tok in t],
+            dtype=object,
+        )
+        codes, uniq = pd.factorize(flat)
+        x = np.zeros((n, len(uniq)), dtype=np.float32)
+        rows = np.repeat(np.arange(n), lens)
+        x[rows, codes] = 1.0
+        inter = x @ x.T  # exact: counts are small ints, float32 holds 2^24
+        iu, ju = np.triu_indices(n, 1)
+        both = valid[iu] & valid[ju]
+        iu, ju = iu[both], ju[both]
+        iv = inter[iu, ju]
+        sa, sb = lens[iu], lens[ju]
+        jac = iv / (sa + sb - iv)
+        keep = jac >= 0.499999  # margin below round(j,6) >= 0.5
+        return pd.DataFrame({
+            "doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]],
+            "inter": iv[keep].astype(np.int32),
+            "sa": sa[keep].astype(np.int32),
+            "sb": sb[keep].astype(np.int32),
+        })
+
+    raw = d.groupBy("lang", "len_blk").applyInPandas(
+        _block_pairs,
+        schema="doc_a long, doc_b long, inter int, sa int, sb int",
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_blk") == F.col("b.len_blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    inter = F.size(F.array_intersect("a.toks", "b.toks"))
-    union = F.size("a.toks") + F.size("b.toks") - inter
-    jac = inter / union
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(jac, 6).alias("jaccard"),
+    union = F.col("sa") + F.col("sb") - F.col("inter")
+    jac = F.col("inter") / union
+    return raw.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).where(F.round(jac, 6) >= 0.5)
 
 
@@ -719,36 +764,91 @@ WHERE round(len(list_intersect(a.t, b.t)) * 1.0
 def q_cosine_pairs(spark, sf):
     # same per-block sampling cap as q_jaccard_pairs (never binds at
     # sf<=0.1: 500/label there); lsh_topk / ivf_topk are the scale paths
+    #
+    # The within-label all-pairs cosine runs as one numpy kernel per
+    # label block (guide §4.2) instead of the former self-join whose
+    # interpreted F.aggregate lambdas evaluated 3 x 64 fold steps per
+    # pair (71 s of executor time on 2 post-AQE tasks at sf1).  The
+    # kernel replays the EXACT left-fold summation order of the
+    # F.aggregate expressions — acc := acc + x*y, one dimension at a
+    # time, vectorized ACROSS pairs — so every double is bit-identical;
+    # rounding and the threshold stay Spark-side, with a kernel-side
+    # safety-margin pre-filter.
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    wcap = W.partitionBy("label").orderBy("vec_id")
-    e = (
-        e.withColumn("_rn", F.row_number().over(wcap))
-        .where(F.col("_rn") <= 600)
-        .drop("_rn")
+    e = e.where(F.col("label").isNotNull())
+
+    def _label_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort").head(600)
+        ids = pdf["vec_id"].to_numpy()
+        vecs = pdf["v"].tolist()
+        labels = pdf["label"].to_numpy()
+        valid = np.array([v is not None for v in vecs])
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64),
+            "label": pdf["label"].iloc[:0],
+            "cos_raw": np.empty(0, np.float64),
+        })
+        if n < 2 or valid.sum() < 2:
+            return empty
+        dim = max(len(v) for v, ok in zip(vecs, valid) if ok)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        for i, (v, ok) in enumerate(zip(vecs, valid)):
+            if ok:
+                mat[i, : len(v)] = np.asarray(v, dtype=np.float64)
+        # norms: replay sqrt(fold(0.0, acc + x*x)) in fold order
+        acc = np.zeros(n, dtype=np.float64)
+        for k in range(dim):
+            acc += mat[:, k] * mat[:, k]
+        norms = np.sqrt(acc)
+        iu, ju = np.triu_indices(n, 1)
+        both = valid[iu] & valid[ju]
+        iu, ju = iu[both], ju[both]
+        # dot: replay fold(0.0, acc + x_k*y_k) in fold order per pair,
+        # in bounded chunks so the pair-gathered copies of `mat` stay
+        # ~25 MB per task instead of O(n^2 * dim)
+        cos = np.empty(len(iu), dtype=np.float64)
+        step = 50_000
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, len(iu), step):
+                ic, jc = iu[s:s + step], ju[s:s + step]
+                a, b = mat[ic], mat[jc]
+                dot = np.zeros(len(ic), dtype=np.float64)
+                for k in range(dim):
+                    dot += a[:, k] * b[:, k]
+                cos[s:s + step] = dot / (norms[ic] * norms[jc])
+        # margin below round(c,4) >= 0.3; NaN rides through because
+        # Spark orders NaN above every double — the Spark-side filter,
+        # not the kernel, must decide NaN pairs (as the join did)
+        keep = (cos >= 0.29994) | np.isnan(cos)
+        return pd.DataFrame({
+            "vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]],
+            "label": labels[iu[keep]],
+            "cos_raw": cos[keep],
+        })
+
+    from pyspark.sql.types import (
+        DoubleType as _Dbl, LongType as _Lng, StructField as _SF,
+        StructType as _ST,
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    raw = e.groupBy("label").applyInPandas(
+        _label_pairs,
+        schema=_ST([
+            _SF("vec_a", _Lng()), _SF("vec_b", _Lng()),
+            _SF("label", e.schema["label"].dataType),
+            _SF("cos_raw", _Dbl()),
+        ]),
     )
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
-    return pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.label").alias("label"),
-        F.round(cos, 4).alias("cosine"),
-    ).where(F.round(cos, 4) >= 0.3)
+    return raw.select(
+        "vec_a", "vec_b", "label",
+        F.round("cos_raw", 4).alias("cosine"),
+    ).where(F.round("cos_raw", 4) >= 0.3)
 
 
 SQL_COSINE_PAIRS = """
