@@ -36,6 +36,17 @@ from audio_quality_checker_spark.functions.hashing import splitmix64
 
 _SEED_BASE = np.uint64(0x9E3779B97F4A7C15)
 
+#: jaccard_pairs_guarded's class-pair verify ships the class token sets
+#: to every Python worker as a broadcast dictionary when the class
+#: count stays under this bound (~900 MB of worker RSS at the bound:
+#: ~1.8 KB per id-coded frozenset plus dict slots, held once per reused
+#: worker process).  Above it the verify falls back to the JVM
+#: hash-join + array_intersect route — identical values, no broadcast
+#: assumption — mirroring the referential.py DRIVER_BLOOM_MAX_BYTES
+#: refusal pattern: at 10^12-doc scale the class table is corpus-sized
+#: and must never funnel through the driver.
+_CLS_VERIFY_BROADCAST_MAX = 500_000
+
 
 def _widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure the Python-heavy signature stage gets real parallelism: a
@@ -132,7 +143,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 128,
                        shingle_k: int = 5,
                        shingle_mode: str = "word",
-                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
+                       extra_cols: tuple[str, ...] = (),
+                       tokens_col: str | None = None) -> DataFrame:
     """(id, sig array<bigint>[, *extra_cols]): n_hashes-permutation
     MinHash signature.
 
@@ -143,6 +155,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     `extra_cols` ride through the Arrow batch unchanged — callers that
     need per-doc metadata next to the signature (the guarded surface's
     block keys) avoid a join-back against a 1 KB/row signature frame.
+
+    ``tokens_col``: an already-tokenized array<string> column to hash
+    instead of re-splitting ``text_col`` (equivalent to shingle_k=1
+    word mode over the same token multiset: the per-seed minimum only
+    sees the token SET, so duplicates and ordering are irrelevant).
+    The guarded surface passes its cached token projection here, which
+    removes the second source scan + re-tokenization the signature
+    stage used to pay.
     """
     seeds = splitmix64(
         np.arange(1, n_hashes + 1, dtype=np.uint64) * _SEED_BASE
@@ -175,13 +195,22 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                 cols[c] = pdf[c]
             yield pd.DataFrame(cols)
 
-    staged = _widen(
-        df.select(id_col, text_col, *extra_cols)
-    ).select(
-        id_col,
-        *extra_cols,
-        _shingle_hash_col(text_col, shingle_k, shingle_mode).alias("sh"),
-    )
+    if tokens_col is not None:
+        staged = _widen(
+            df.select(id_col, tokens_col, *extra_cols)
+        ).select(
+            id_col,
+            *extra_cols,
+            F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("sh"),
+        )
+    else:
+        staged = _widen(
+            df.select(id_col, text_col, *extra_cols)
+        ).select(
+            id_col,
+            *extra_cols,
+            _shingle_hash_col(text_col, shingle_k, shingle_mode).alias("sh"),
+        )
     out_schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -710,14 +739,24 @@ def simhash_pairs_multitable(sigs: DataFrame, id_col: str = "doc_id",
 class _GuardedRoutes:
     """The two verified routes of the guarded surface, still lazy, plus
     the caches the builder persisted (callers hand them to
-    _finish_pairs after deriving their output)."""
+    _finish_pairs after deriving their output).
 
-    __slots__ = ("exact_pairs", "hot_pairs", "caches")
+    For hot_route="pairs" the builder also exposes the class-collapsed
+    intermediates (``classes``: one row per distinct (lang, bucket,
+    token-set) equivalence class; ``vcls``: the verified >= threshold
+    class-pair list) so the pair surface can deduplicate routes at
+    class granularity instead of re-aggregating the expanded doc-pair
+    stream."""
 
-    def __init__(self, exact_pairs, hot_pairs, caches):
+    __slots__ = ("exact_pairs", "hot_pairs", "caches", "classes", "vcls")
+
+    def __init__(self, exact_pairs, hot_pairs, caches,
+                 classes=None, vcls=None):
         self.exact_pairs = exact_pairs
         self.hot_pairs = hot_pairs
         self.caches = caches
+        self.classes = classes
+        self.vcls = vcls
 
 
 def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
@@ -888,88 +927,212 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
     ).where(F.col("jaccard") >= threshold)
 
     # route 2: LSH for the oversized blocks, verified exactly.
-    # base is already one row per doc, so signatures are computed once
-    # per doc needing them (either probe bucket oversized) with the
-    # block metadata riding THROUGH the Arrow batch — no dropDuplicates
-    # payload shuffle and no join-back against the 1 KB/row signature
-    # frame (both measured costs of the round-4 shape).  The probe-row
-    # explode happens on the narrow signature frame afterwards; the
-    # block key (lang, blk) is an exact-equality term of the candidate
-    # join, so LSH only replaces the WITHIN-block all-pairs stage and
-    # never widens the pair universe.
-    text_side = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(lang_col).alias("lang"),
-        F.floor(F.length(text_col) / 100).alias("len_blk"),
-        F.col(text_col).alias("__text"),
-    ).join(
-        F.broadcast(
-            blk_pop.select(
-                "lang",
-                F.col("blk").alias("len_blk"),
-                F.col("blk_n").alias("blk_n_home"),
-            )
-        ),
-        ["lang", "len_blk"],
-        "left",
-    ).join(
-        F.broadcast(
-            blk_pop.select(
-                "lang",
-                (F.col("blk") - 1).alias("len_blk"),
-                F.col("blk_n").alias("blk_n_up"),
-            )
-        ),
-        ["lang", "len_blk"],
-        "left",
-    )
-    needs_sig = text_side.where(
+    # Signatures hash the CACHED token projection of `base2` directly
+    # (minhash_signatures(tokens_col=...)): identical values to the old
+    # re-scan-and-retokenize path — the per-seed minimum only sees the
+    # token set — minus one full source scan and one tokenization pass.
+    # The probe-row explode happens on the narrow signature frame; the
+    # block key (lang, blk) rides as an |delta bucket| <= 1 predicate
+    # of the candidate join, so LSH only replaces the WITHIN-block
+    # all-pairs stage and never widens the pair universe.
+    # shingle_k=1 equivalence: TOKEN-SET MinHash, so the candidate
+    # metric is the SAME similarity the verify stage computes (the
+    # round-5 recall lesson: with 5-word shingles the hot route found
+    # ~0% of reordered-template pairs).  Banding collision probability
+    # vs true token jaccard: ~0.87 at j=0.5, ~0.99 at j=0.7 (asserted
+    # by the hot-block recall test).
+    need = base2.where(
         (F.col("blk_n_home") > block_cap) | (F.col("blk_n_up") > block_cap)
-    ).select("doc_id", F.col("__text").alias("t"), "lang", "len_blk")
-    # band each DOC once (not once per probe row): the bucket constraint
-    # becomes an |delta bucket| <= 1 predicate of the candidate join
-    # instead of a second exploded copy of every signature — half the
-    # rows on both sides of the banding join for the same candidate
-    # universe.  A 4-hash band collision already implies similarity, so
-    # the bucket key added almost no selectivity; dissimilar same-band
-    # collisions across distant buckets die on the range predicate.
-    # shingle_k=1: TOKEN-SET MinHash, so the candidate metric is the
-    # SAME similarity the verify stage computes.  The default 5-word
-    # shingling measures sequence overlap — near-zero for documents
-    # that share vocabulary in a different order — while the verify is
-    # token-set jaccard; with mismatched metrics the hot-block route
-    # silently found ~0% of true pairs (measured on an 800-doc block:
-    # 19 of 155,907 pairs at j >= 0.5).  With k=1 the banding collision
-    # probability applies to the true token jaccard: ~0.87 at j=0.5,
-    # ~0.99 at j=0.7 (asserted by the hot-block recall test).
-    doc_sigs = minhash_signatures(
-        needs_sig, "doc_id", "t", shingle_k=1,
-        extra_cols=("lang", "len_blk"),
-    )
-    sigs = _banded_sigs(
-        doc_sigs, "doc_id", 32, 128, extra_cols=("lang", "len_blk")
-    )
-    sigs.persist()
+    ).select("doc_id", "lang", "len_blk", "toks")
     if hot_route == "pairs":
+        # CLASS COLLAPSE: docs sharing an identical token SET inside
+        # the same (lang, bucket) are interchangeable for candidate
+        # generation (identical signature => identical band buckets,
+        # identical bucket key) AND for verification (jaccard depends
+        # only on the sets) — so the banding self-join, the distinct
+        # and the exact verify all run over one representative per
+        # class, and doc pairs are expanded afterwards:
+        #   cross-class: every (a in A, b in B) pair of a verified
+        #       class pair carries the class pair's jaccard — the same
+        #       double the per-doc verify computed, since the inputs
+        #       are equal sets.
+        #   within-class: jaccard is exactly 1.0 (inter == union) and
+        #       identical signatures ALWAYS collide, so the old route
+        #       emitted every such pair — emitted directly here
+        #       (skipping empty token sets, whose jaccard is NULL on
+        #       both routes).
+        # On template-heavy corpora (this engine's target) the dense
+        # buckets collapse 3-12x, which shrinks the quadratic
+        # candidate join and the verify by the square of that; the
+        # emitted pair set is IDENTICAL by the argument above
+        # (asserted by the planted-fixture equality tests and the
+        # sf0.1/sf1 output fingerprints).
+        classes = (
+            need.groupBy("lang", "len_blk", F.sort_array("toks").alias("tset"))
+            .agg(
+                F.min("doc_id").alias("rid"),
+                F.sort_array(F.collect_list("doc_id")).alias("ids"),
+                F.count(F.lit(1)).alias("m"),
+            )
+        )
+        classes.persist(StorageLevel.MEMORY_AND_DISK)
+        n_classes = classes.count()  # eager: four subplans reference it
+        cls_sigs = minhash_signatures(
+            classes.select("rid", "lang", "len_blk",
+                           F.size("tset").alias("tsz"), "tset"),
+            "rid", tokens_col="tset",
+            extra_cols=("lang", "len_blk", "tsz"),
+        )
+        sigs = _banded_sigs(
+            cls_sigs, "rid", 32, 128, extra_cols=("lang", "len_blk", "tsz")
+        )
+        sigs.persist()
         ca, cb = sigs.alias("a"), sigs.alias("b")
+        # size prefilter: jaccard >= t forces min(|A|,|B|) >= t*max
+        # (inter <= min, union >= max, so jac <= min/max) — a NECESSARY
+        # condition, so dropping violators cannot change the verified
+        # output; it only spares the distinct's shuffle the collisions
+        # that could never pass.  The 1e-9 margin covers double
+        # rounding on both sides of the comparison.
         cands = (
             ca.join(
                 cb,
                 (F.col("a.band_idx") == F.col("b.band_idx"))
                 & (F.col("a.band_hash") == F.col("b.band_hash"))
                 & (F.col("a.lang") == F.col("b.lang"))
-                & (
-                    F.abs(F.col("a.len_blk") - F.col("b.len_blk")) <= 1
-                )
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.abs(F.col("a.len_blk") - F.col("b.len_blk")) <= 1)
+                & (F.least("a.tsz", "b.tsz")
+                   >= (threshold - 1e-9) * F.greatest("a.tsz", "b.tsz"))
+                & (F.col("a.rid") < F.col("b.rid")),
             )
             .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
+                F.col("a.rid").alias("rid_a"),
+                F.col("b.rid").alias("rid_b"),
             )
             .distinct()
         )
-    elif hot_route == "star" and star_reps <= 1:
+        if n_classes <= _CLS_VERIFY_BROADCAST_MAX:
+            # broadcast-dictionary verify: the class table is small
+            # enough to ship to every Python worker as id-coded frozen
+            # sets (tokens dictionary-encoded driver-side — a dict on
+            # the actual strings, so counts are collision-free and
+            # EQUAL to array_intersect's by construction).  Each
+            # candidate pair costs one C-speed set intersection
+            # instead of an interpreted per-row array_intersect that
+            # re-hashes both token arrays (measured 4,000 s of
+            # executor time over 94M candidate pairs at sf1 -> ~40 s).
+            rows = classes.select("rid", "tset").collect()
+            vocab: dict[str, int] = {}
+            csets: dict[int, tuple[frozenset, int]] = {}
+            for r in rows:
+                idv = []
+                for t in r["tset"]:
+                    i = vocab.get(t)
+                    if i is None:
+                        i = len(vocab)
+                        vocab[t] = i
+                    idv.append(i)
+                csets[r["rid"]] = (frozenset(idv), len(idv))
+            cbc = df.sparkSession.sparkContext.broadcast(csets)
+
+            def _verify(batches):
+                s = cbc.value
+                for pdf in batches:
+                    n = len(pdf)
+                    # plain-int lists: dict probes on python ints are
+                    # ~3x the speed of boxed numpy int64 keys
+                    pa = [s[a] for a in pdf["rid_a"].tolist()]
+                    pb = [s[b] for b in pdf["rid_b"].tolist()]
+                    inter_n = np.fromiter(
+                        (len(x[0] & y[0]) for x, y in zip(pa, pb)),
+                        dtype=np.int32, count=n,
+                    )
+                    sa = np.fromiter((x[1] for x in pa), np.int32, n)
+                    sb = np.fromiter((y[1] for y in pb), np.int32, n)
+                    yield pd.DataFrame(
+                        {"rid_a": pdf["rid_a"], "rid_b": pdf["rid_b"],
+                         "inter": inter_n, "sa": sa, "sb": sb}
+                    )
+
+            counted = cands.mapInPandas(
+                _verify,
+                schema="rid_a long, rid_b long, inter int, sa int, sb int",
+            )
+            vu = F.col("sa") + F.col("sb") - F.col("inter")
+            vcls = (
+                counted.select(
+                    "rid_a", "rid_b",
+                    F.when(vu > 0, F.col("inter") / vu).alias("jaccard"),
+                )
+                .where(F.col("jaccard") >= threshold)
+            )
+        else:
+            # JVM hash-join verify — the any-scale fallback (identical
+            # values: same intersect counts, same double division)
+            cta = classes.select(
+                F.col("rid").alias("rid_a"), F.col("tset").alias("ta")
+            )
+            ctb = classes.select(
+                F.col("rid").alias("rid_b"), F.col("tset").alias("tb")
+            )
+            vinter = F.size(F.array_intersect("ta", "tb"))
+            vunion = F.size("ta") + F.size("tb") - vinter
+            vcls = (
+                cands.join(cta, "rid_a").join(ctb, "rid_b")
+                .select(
+                    "rid_a", "rid_b",
+                    F.when(vunion > 0, vinter / vunion).alias("jaccard"),
+                )
+                .where(F.col("jaccard") >= threshold)
+            )
+        vcls.persist(StorageLevel.MEMORY_AND_DISK)
+        cross = (
+            vcls
+            .join(
+                classes.select(F.col("rid").alias("rid_a"),
+                               F.col("ids").alias("_ia")),
+                "rid_a",
+            )
+            .join(
+                classes.select(F.col("rid").alias("rid_b"),
+                               F.col("ids").alias("_ib")),
+                "rid_b",
+            )
+            .select("jaccard", F.explode("_ia").alias("_a"), "_ib")
+            .select("jaccard", "_a", F.explode("_ib").alias("_b"))
+            .select(
+                F.least("_a", "_b").alias("id_a"),
+                F.greatest("_a", "_b").alias("id_b"),
+                "jaccard",
+            )
+        )
+        within = (
+            classes.where((F.col("m") > 1) & (F.size("tset") > 0))
+            .select(F.explode("ids").alias("_a"), "ids")
+            .select("_a", F.explode("ids").alias("_b"))
+            .where(F.col("_a") < F.col("_b"))
+            .select(
+                F.col("_a").alias("id_a"),
+                F.col("_b").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        hot_pairs = cross.unionByName(within)
+        return _GuardedRoutes(exact_pairs, hot_pairs, (sigs, base),
+                              classes=classes, vcls=vcls)
+    doc_sigs = minhash_signatures(
+        need, "doc_id", tokens_col="toks",
+        extra_cols=("lang", "len_blk"),
+    )
+    sigs = _banded_sigs(
+        doc_sigs, "doc_id", 32, 128, extra_cols=("lang", "len_blk")
+    )
+    sigs.persist()
+    # eager: the reps window and the candidate probe otherwise race a
+    # cold cache and each re-runs the signature kernel (two identical
+    # 40s-executor-time stages measured at sf1)
+    sigs.count()
+    if hot_route == "star" and star_reps <= 1:
         # star candidates: rep = bucket min id, via a PARTITIONED window
         # min over a (doc_id, len_blk) struct (ids are unique, so the
         # lexicographic struct min is the min-id row and carries its
@@ -1048,17 +1211,23 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     `_guarded_routes` (hot_route="pairs").
 
     A pair sharing two buckets (or found by both routes when its two
-    shared buckets straddle the cap) is deduplicated by a final per-pair
-    aggregation — the jaccard value is identical wherever it is
-    computed, so the dedup is a pure set operation.
+    shared buckets straddle the cap) is deduplicated — the jaccard
+    value is identical wherever it is computed, so the dedup is a pure
+    set operation.  With the class-collapsed hot route the dedup runs
+    at CLASS granularity: hot doc-pairs are expansion-unique by
+    construction (each doc belongs to exactly one class), so only the
+    (small) exact-route pair list needs a per-pair aggregation plus an
+    anti-join against the hot class pairs — the expanded pair stream is
+    never re-shuffled (the former per-doc-pair groupBy moved ~1 GB at
+    sf1 for information the class pairs already carry).
 
     SCALE NOTE: output is the full pair list, O(cluster^2) on dense
     near-dup clusters (the synthetic corpus is ~94% template-duplicated:
-    sf1 emits 11.56M pairs from 50k docs).  Consumers that need
-    membership or a survivor set — the verdict gate, keep-one — use
-    near_dup_members_guarded / jaccard_edges_guarded, which span the
-    same clusters with O(n) output.  This surface is for callers that
-    genuinely want pairs (similarity analytics, audit trails).
+    sf1 emits 128.8M pairs from 50k docs at cap 40).  Consumers that
+    need membership or a survivor set — the verdict gate, keep-one —
+    use near_dup_members_guarded / jaccard_edges_guarded, which span
+    the same clusters with O(n) output.  This surface is for callers
+    that genuinely want pairs (similarity analytics, audit trails).
 
     The returned frame is persisted and materialized (the intermediates
     it was built from are unpersisted before returning); callers that are
@@ -1066,13 +1235,49 @@ def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
     """
     routes = _guarded_routes(df, id_col, text_col, lang_col, threshold,
                              block_cap, hot_route="pairs")
-    out = (
+    classes, vcls = routes.classes, routes.vcls
+    # exact-route pairs: dedup within the route (a pair sharing two
+    # under-cap buckets is found twice with the same value) ...
+    exact_d = (
         routes.exact_pairs.select("id_a", "id_b", "jaccard")
-        .unionByName(routes.hot_pairs)
         .groupBy("id_a", "id_b")
         .agg(F.min("jaccard").alias("jaccard"))
     )
-    return _finish_pairs(out, *routes.caches)
+    # ... then drop the ones the hot route also found: map each doc to
+    # its class (docs outside every oversized block have none and can
+    # never be hot) — same class => covered by the within-class
+    # expansion; verified class pair => covered by the cross expansion.
+    # All frames here are class/exact-route sized, never the expanded
+    # pair stream.
+    doc_cls = classes.select(F.explode("ids").alias("_doc"), "rid")
+    ex = (
+        exact_d
+        .join(
+            doc_cls.select(F.col("_doc").alias("id_a"),
+                           F.col("rid").alias("_ra")),
+            "id_a", "left",
+        )
+        .join(
+            doc_cls.select(F.col("_doc").alias("id_b"),
+                           F.col("rid").alias("_rb")),
+            "id_b", "left",
+        )
+        .where(
+            ~(F.col("_ra").isNotNull() & F.col("_rb").isNotNull()
+              & (F.col("_ra") == F.col("_rb")))
+        )
+    )
+    exact_only = (
+        ex.join(
+            vcls.select("rid_a", "rid_b"),
+            (F.least("_ra", "_rb") == F.col("rid_a"))
+            & (F.greatest("_ra", "_rb") == F.col("rid_b")),
+            "left_anti",
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    out = routes.hot_pairs.unionByName(exact_only)
+    return _finish_pairs(out, *routes.caches, classes, vcls)
 
 
 def jaccard_edges_guarded(df: DataFrame, id_col: str = "doc_id",
