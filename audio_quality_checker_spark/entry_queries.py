@@ -23,6 +23,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def wload(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load() + conditional scan widening (functions/partitioning.py):
+    the bench fixture writes one-row-group parquet, which pins every
+    map-heavy pass fused onto the scan to a single task.  Used by the
+    queries whose per-row work (regexp chains, interpreted higher-order
+    functions, Arrow kernels) dominates their scan."""
+    from audio_quality_checker_spark.functions.partitioning import widen
+
+    return widen(load(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # 1. column_stats — the one-pass multi-measure aggregation
 #    (analyze_loudness shape, true_peak.rs:143-164)
@@ -220,12 +231,226 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def q_quantiles(spark, sf):
+    """Exact per-group percentiles via distributed histogram selection.
+
+    The original single Percentile aggregate is an interpreted
+    ImperativeAggregate: every raw row fed a boxed counts map and the
+    final merge sorted 4.6M distinct prices inside THREE reducer tasks
+    (a per-group funnel that only gets worse with scale).  This
+    formulation computes the same doubles with three shuffle-free
+    codegen scans plus bounded driver work (the IVF-centroid /
+    eval-gram precedent for KB-sized driver summaries):
+
+      1. one rollup scan: per-flag non-null count / min / max of
+         l_extendedprice AND the (flag, l_quantity) value histogram —
+         l_quantity has ~50 distinct values, so its exact percentile is
+         replayed driver-side from the histogram with Percentile's own
+         arithmetic (pos = p*(n-1); (hp-pos)*lower + (pos-lp)*higher —
+         identical IEEE ops in identical order).
+      2. one scan building an 8192-bucket histogram of price per flag
+         (monotone bucketing over [min, max]) — locates the bucket
+         holding each floor/ceil order statistic and the rank offset
+         before it.
+      3. one scan collecting ONLY the target buckets' values (~750
+         rows/bucket at sf1); the order statistics are read off the
+         sorted bucket and interpolated exactly as in step 1.
+
+    Every scan is map-side partial-aggregated; nothing shuffles row
+    data, nothing sorts more than one bucket, no per-group reducer
+    funnel exists.  If a degenerate distribution packs > 2M rows into
+    one target bucket, the implementation falls back to the
+    (value, frequency) Percentile aggregate — same values, no wrong
+    answers on adversarial data.
+    """
+    import math
+
     li = load(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("price_p50"),
-        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("price_p95"),
-        F.round(F.percentile("l_quantity", 0.1), 4).alias("qty_p10"),
+    r1 = (
+        li.rollup("l_returnflag", "l_quantity")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("l_extendedprice").alias("np"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+            F.grouping_id().alias("gid"),
+        )
+        .where(F.col("gid") < 2)
+        .collect()
     )
+
+    def _interp(pos, lower, higher, lp, hp):
+        if lp == hp or lower == higher:
+            return lower
+        return (hp - pos) * lower + (pos - lp) * higher
+
+    def _pct_from_hist(pairs, pct):
+        # replay Percentile over a sorted (value, count) histogram
+        n = sum(c for _, c in pairs)
+        if n == 0:
+            return None
+        pos = pct * (n - 1)
+        lp, hp = math.floor(pos), math.ceil(pos)
+        acc, lo_v, hi_v = 0, None, None
+        for v, c in sorted(pairs, key=lambda t: t[0]):
+            if lo_v is None and acc + c >= lp + 1:
+                lo_v = float(v)
+            if acc + c >= hp + 1:
+                hi_v = float(v)
+                break
+            acc += c
+        return _interp(pos, lo_v, hi_v, lp, hp)
+
+    flag_stats = {}
+    qty_hist = {}
+    for r in r1:
+        if r["gid"] == 1:
+            flag_stats[r["l_returnflag"]] = (r["np"], r["mn"], r["mx"])
+        elif r["l_quantity"] is not None:
+            qty_hist.setdefault(r["l_returnflag"], []).append(
+                (r["l_quantity"], r["cnt"])
+            )
+
+    # per-flag targets: floor/ceil order statistics (1-based ranks)
+    n_buckets = 8192
+    want = {}  # flag -> list of (which, pct, pos, lp, hp)
+    for flag, (n, mn, mx) in flag_stats.items():
+        tl = []
+        for which, pct in ((0, 0.5), (1, 0.95)):
+            if n == 0:
+                continue
+            pos = pct * (n - 1)
+            tl.append((which, pos, math.floor(pos), math.ceil(pos)))
+        want[flag] = tl
+
+    # pass 2: price histogram for flags that need one (n > 0, mn < mx)
+    need_hist = {
+        flag: (mn, (mx - mn) / n_buckets)
+        for flag, (n, mn, mx) in flag_stats.items()
+        if n > 0 and mn < mx
+    }
+    picked = {}  # (flag, which) -> raw double
+    fallback = False
+    if need_hist:
+        bdf = spark.createDataFrame(
+            [(f, float(mn), float(w)) for f, (mn, w) in need_hist.items()],
+            "bf string, bmn double, bw double",
+        )
+        bucket = F.least(
+            F.floor((F.col("l_extendedprice") - F.col("bmn")) / F.col("bw")),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+        hist = (
+            li.where(F.col("l_extendedprice").isNotNull())
+            .join(F.broadcast(bdf),
+                  F.col("l_returnflag").eqNullSafe(F.col("bf")))
+            .groupBy("l_returnflag", bucket.alias("bk"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        hmap = {}
+        for r in hist:
+            hmap.setdefault(r["l_returnflag"], []).append((r["bk"], r["c"]))
+        # locate the bucket and in-bucket rank of every target statistic
+        need_rows = {}  # (flag, bucket) -> list of (which, side, local_rank)
+        for flag, tl in want.items():
+            if flag not in need_hist:
+                continue
+            buckets = sorted(hmap.get(flag, []))
+            for which, pos, lp, hp in tl:
+                for side, rank1 in (("lo", lp + 1), ("hi", hp + 1)):
+                    acc = 0
+                    for bk, c in buckets:
+                        if acc + c >= rank1:
+                            if c > 2_000_000:
+                                fallback = True
+                            need_rows.setdefault((flag, bk), []).append(
+                                (which, side, rank1 - acc)
+                            )
+                            break
+                        acc += c
+        if not fallback and need_rows:
+            sel = spark.createDataFrame(
+                [(f, bk) for (f, bk) in need_rows],
+                "sf_ string, sbk long",
+            )
+            cand = (
+                li.where(F.col("l_extendedprice").isNotNull())
+                .join(F.broadcast(bdf),
+                      F.col("l_returnflag").eqNullSafe(F.col("bf")))
+                .withColumn("bk", bucket)
+                .join(
+                    F.broadcast(sel),
+                    F.col("l_returnflag").eqNullSafe(F.col("sf_"))
+                    & (F.col("bk") == F.col("sbk")),
+                )
+                .select("l_returnflag", "bk", "l_extendedprice")
+                .collect()
+            )
+            vals = {}
+            for r in cand:
+                vals.setdefault((r["l_returnflag"], r["bk"]), []).append(
+                    r["l_extendedprice"]
+                )
+            stats = {}  # (flag, which, side) -> value
+            for key, wants_ in need_rows.items():
+                arr = sorted(vals.get(key, []))
+                for which, side, lrank in wants_:
+                    stats[(key[0], which, side)] = arr[lrank - 1]
+            for flag, tl in want.items():
+                if flag not in need_hist:
+                    continue
+                for which, pos, lp, hp in tl:
+                    picked[(flag, which)] = _interp(
+                        pos,
+                        stats[(flag, which, "lo")],
+                        stats[(flag, which, "hi")],
+                        lp, hp,
+                    )
+    if fallback:
+        # adversarial bucket: exact (value, frequency) aggregate route
+        pre = li.groupBy("l_returnflag", "l_extendedprice").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        rows = pre.groupBy("l_returnflag").agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)),
+                F.col("cnt"),
+            ).alias("parr")
+        ).collect()
+        for r in rows:
+            if r["parr"] is not None:
+                picked[(r["l_returnflag"], 0)] = r["parr"][0]
+                picked[(r["l_returnflag"], 1)] = r["parr"][1]
+    # degenerate flags: constant price (mn == mx) or all-null (n == 0)
+    for flag, (n, mn, mx) in flag_stats.items():
+        for which in (0, 1):
+            if (flag, which) not in picked:
+                picked[(flag, which)] = mn if n > 0 else None
+
+    out_rows = [
+        (
+            flag,
+            picked.get((flag, 0)),
+            picked.get((flag, 1)),
+            _pct_from_hist(qty_hist.get(flag, []), 0.1),
+        )
+        for flag in flag_stats
+    ]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField("l_returnflag", li.schema["l_returnflag"].dataType),
+        StructField("p50", DoubleType()),
+        StructField("p95", DoubleType()),
+        StructField("q10", DoubleType()),
+    ])
+    return spark.createDataFrame(out_rows, schema).select(
+        "l_returnflag",
+        F.round(F.col("p50"), 4).alias("price_p50"),
+        F.round(F.col("p95"), 4).alias("price_p95"),
+        F.round(F.col("q10"), 4).alias("qty_p10"),
+    )
+
 
 
 SQL_QUANTILES = """
@@ -563,7 +788,7 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 def q_token_stats(spark, sf):
-    d = load(spark, sf, "documents")
+    d = wload(spark, sf, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     nonword = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
     punct_ratio = nonword / F.length("text")
@@ -593,7 +818,7 @@ _STOPS = {"en": " the ", "de": " der ", "fr": " le ", "es": " el ", "zh": "的"}
 
 
 def q_lang_id(spark, sf):
-    d = load(spark, sf, "documents")
+    d = wload(spark, sf, "documents")
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     hits = {
         lang: F.coalesce(
@@ -883,7 +1108,7 @@ def q_chunk_explode(spark, sf):
         chunk_documents,
     )
 
-    d = load(spark, sf, "documents")
+    d = wload(spark, sf, "documents")
     return chunk_documents(d, chunk_tokens=64, overlap=16)
 
 
@@ -979,7 +1204,7 @@ def q_repetition_stats(spark, sf):
         repetition_features,
     )
 
-    d = load(spark, sf, "documents")
+    d = wload(spark, sf, "documents")
     f = repetition_features(d)
     return f.groupBy("lang").agg(
         F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
@@ -1171,7 +1396,7 @@ def q_url_canonical(spark, sf):
         url_dup_groups,
     )
 
-    d = load(spark, sf, "documents").select("doc_id")
+    d = wload(spark, sf, "documents").select("doc_id")
     host = F.concat(
         F.lit("example"), (F.col("doc_id") % 29).cast("string"), F.lit(".com")
     )
@@ -1338,7 +1563,7 @@ def q_quality_scores(spark, sf):
         quality_score_col,
     )
 
-    d = load(spark, sf, "documents")
+    d = wload(spark, sf, "documents")
     scored = quality_features(d).withColumn("q", quality_score_col())
     return scored.groupBy("source").agg(
         F.round(F.avg("q"), 6).alias("avg_quality"),
@@ -1811,7 +2036,7 @@ def q_token_budget_bpe(spark, sf):
         train_bpe,
     )
 
-    d = load(spark, sf, "documents")
+    d = wload(spark, sf, "documents")
     merges = train_bpe(d, vocab_size=384, sample_cap=2_000)
     return bpe_token_counts(d, merges).groupBy("lang").agg(
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
@@ -2045,7 +2270,7 @@ def q_pii_scrub(spark, sf):
         pii_count_cols, residual_pii_col, scrub_pii_col,
     )
 
-    d = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    d = wload(spark, sf, "documents").where(F.col("text").isNotNull())
     sid = F.col("doc_id").cast("string")
     planted = F.concat(
         F.col("text"),
@@ -2169,7 +2394,7 @@ def q_line_dedup(spark, sf):
         remove_boilerplate_lines,
     )
 
-    d = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    d = wload(spark, sf, "documents").where(F.col("text").isNotNull())
     ml = F.array_join(
         F.filter(
             F.array(

@@ -48,38 +48,14 @@ _SEED_BASE = np.uint64(0x9E3779B97F4A7C15)
 _CLS_VERIFY_BROADCAST_MAX = 500_000
 
 
-def _widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Ensure the Python-heavy signature stage gets real parallelism: a
-    small parquet table arrives as ONE input split, serializing the whole
-    mapInPandas (measured: the entire sf0.1 minhash cost was one task).
-    At production scale inputs already carry thousands of splits and this
-    is a no-op — the repartition only fires when the input is narrower
-    than the target width (python-stage rule: ~half the slots).
+from audio_quality_checker_spark.functions.partitioning import widen as _widen
 
-    Width is probed via `inputFiles()` (a file listing, no RDD plan
-    conversion — `.rdd.getNumPartitions()` rebuilt the plan per call).
-    File count lower-bounds split count, so the only false positive is a
-    few-huge-files scan, where an extra repartition of the two projected
-    columns is cheap relative to the Python signature stage it feeds."""
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or max(2, sc.defaultParallelism // 2)
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files >= target:
-        return df
-    if n_files == 0:
-        # non-file relation (cached/in-memory frames): probe the actual
-        # partition count before shuffling — an already-wide cached input
-        # must not pay an unconditional repartition (round-3 advice).
-        # One RDD plan conversion, only on this cold path.
-        try:
-            if df.rdd.getNumPartitions() >= target:
-                return df
-        except Exception:
-            pass
-    return df.repartition(target)
+# _widen: see functions/partitioning.py — the signature stages AND the
+# banding joins / partial distincts that fuse onto their cached
+# partitions need full-parallelism input (target = defaultParallelism:
+# the previous half-width python-stage rule silently halved the whole
+# candidate pipeline — the 16-task banding-join stage was ~5 s of
+# simhash_dedup's 13 s at sf1 on 32 cores).
 
 
 def _shingle_hash_col(text_col: str, k: int, mode: str = "word") -> Column:

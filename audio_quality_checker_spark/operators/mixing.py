@@ -213,9 +213,14 @@ def contamination_report(
                 }
             )
 
+    from audio_quality_checker_spark.functions.partitioning import widen
+
+    # widen: a one-row-group corpus file otherwise serializes the whole
+    # vectorized gram pass onto one core (conditional — a no-op at
+    # production scale where the scan already carries many splits, so
+    # the map-only zero-exchange plan story is unchanged there)
     return (
-        docs.where(F.col(text_col).isNotNull())
-        .select(id_col, text_col)
+        widen(docs.where(F.col(text_col).isNotNull()).select(id_col, text_col))
         .mapInPandas(_score, schema=out_schema)
         .withColumn(
             "contamination_frac",

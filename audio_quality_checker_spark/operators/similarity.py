@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from audio_quality_checker_spark.functions.hashing import splitmix64
+from audio_quality_checker_spark.functions.partitioning import widen
 
 
 def _cos(a: str, b: str) -> F.Column:
@@ -35,6 +36,23 @@ def _cos(a: str, b: str) -> F.Column:
     return dot / (n(F.col(a)) * n(F.col(b)))
 
 
+def _norm_col(c) -> F.Column:
+    """sqrt(fold(0.0, acc + x*x)) — the exact norm sub-expression of
+    _cos, evaluated ONCE PER VECTOR ROW on the join build sides instead
+    of once per candidate pair: the aggregate lambdas are interpreted
+    (CodegenFallback), so hoisting the two norms out of the per-pair
+    score cuts 2/3 of the interpreted fold work while producing the
+    same doubles (same fold, same inputs; the final
+    dot / (qn * cn) multiplies and divides in the original order)."""
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): exact top-k per query.
@@ -42,18 +60,18 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm_col(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm_col(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cos("qv", "cv"), 6).alias("cosine"),
+            F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -87,7 +105,7 @@ def hyperplane_signatures(df: DataFrame, dim: int, n_planes: int = 16,
                 {id_col: pdf[id_col], "bucket": bucket.astype(np.int64)}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return widen(df.select(id_col, vec_col)).mapInPandas(
         compute, schema=f"{id_col} long, bucket long"
     )
 
@@ -127,16 +145,16 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm_col(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm_col(F.col("cv")))
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
         .select(
-            "query_id", "neighbor_id", F.round(_cos("qv", "cv"), 6).alias("cosine")
+            "query_id", "neighbor_id", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cosine")
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -195,7 +213,7 @@ def binary_signatures(df: DataFrame, dim: int, n_bits: int = 192,
                 {id_col: pdf[id_col], "sketch": [w.tolist() for w in words]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return widen(df.select(id_col, vec_col)).mapInPandas(
         compute, schema=f"{id_col} long, sketch array<bigint>"
     )
 
@@ -262,17 +280,17 @@ def bq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm_col(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm_col(F.col("cv")))
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
-            F.round(_cos("qv", "cv"), 6).alias("cosine"),
+            F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -359,15 +377,15 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm_col(F.col("qv")))
     vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm_col(F.col("cv")))
     out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(_cos("qv", "cv"), 6).alias("cosine"))
+        .select("id_a", "id_b", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
     # materialize the (small) pair output, then release the build-side
@@ -448,7 +466,7 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray, n_probe: int = 1,
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             yield pd.DataFrame({out_id: ids, "list_id": top.ravel()})
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return widen(df.select(id_col, vec_col)).mapInPandas(
         compute, schema=f"{out_id} long, list_id int"
     )
 
@@ -484,16 +502,16 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm_col(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm_col(F.col("cv")))
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
         .select(
-            "query_id", "neighbor_id", F.round(_cos("qv", "cv"), 6).alias("cosine")
+            "query_id", "neighbor_id", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cosine")
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
