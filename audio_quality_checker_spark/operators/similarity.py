@@ -23,7 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from audio_quality_checker_spark.functions.hashing import splitmix64
-from audio_quality_checker_spark.functions.partitioning import widen
 
 
 def _cos(a: str, b: str) -> F.Column:
@@ -105,7 +104,7 @@ def hyperplane_signatures(df: DataFrame, dim: int, n_planes: int = 16,
                 {id_col: pdf[id_col], "bucket": bucket.astype(np.int64)}
             )
 
-    return widen(df.select(id_col, vec_col)).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         compute, schema=f"{id_col} long, bucket long"
     )
 
@@ -213,7 +212,7 @@ def binary_signatures(df: DataFrame, dim: int, n_bits: int = 192,
                 {id_col: pdf[id_col], "sketch": [w.tolist() for w in words]}
             )
 
-    return widen(df.select(id_col, vec_col)).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         compute, schema=f"{id_col} long, sketch array<bigint>"
     )
 
@@ -466,7 +465,7 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray, n_probe: int = 1,
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             yield pd.DataFrame({out_id: ids, "list_id": top.ravel()})
 
-    return widen(df.select(id_col, vec_col)).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         compute, schema=f"{out_id} long, list_id int"
     )
 
