@@ -47,6 +47,12 @@ _SEED_BASE = np.uint64(0x9E3779B97F4A7C15)
 #: and must never funnel through the driver.
 _CLS_VERIFY_BROADCAST_MAX = 500_000
 
+#: the star routes' doc-level analog (the dictionary stores one entry
+#: per needs-sig DOC plus one frozenset per DISTINCT token set); bound
+#: lower than the class bound because the doc map is per-doc.  Above
+#: it, the JVM hash-join verify runs — identical values.
+_DOC_VERIFY_BROADCAST_MAX = 300_000
+
 
 from audio_quality_checker_spark.functions.partitioning import widen as _widen
 
@@ -794,14 +800,21 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
     # corpus scale this spills to disk (MEMORY_AND_DISK) — still far
     # cheaper than four re-tokenizing scans.  Payload text is NOT
     # cached (the round-1 30x binary-cache pathology); the signature
-    # path re-reads it from the column-pruned source scan.
-    base = df.select(
+    # path re-reads it from the column-pruned source scan.  The scan is
+    # conditionally widened BEFORE tokenizing (a one-row-group fixture
+    # file otherwise tokenizes the whole corpus in one task — ~2 s of
+    # every guarded query at sf1; a no-op on well-split inputs).
+    base = _widen(df.select(id_col, lang_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
         F.floor(F.length(text_col) / 100).alias("len_blk"),
         toks.alias("toks"),
     )
     base.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager: the blk_pop broadcast builds run as concurrent futures and
+    # otherwise race the cold cache, each re-scanning and re-tokenizing
+    # the source (three duplicate scan stages measured at sf1)
+    base.count()
     # Block-population COUNTS are a tiny (lang, bucket) dimension —
     # aggregate them first and BROADCAST them back, instead of running a
     # count window over the exploded payload-carrying frame (the round-4
@@ -959,10 +972,14 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
             "rid", tokens_col="tset",
             extra_cols=("lang", "len_blk", "tsz"),
         )
+        # compact per-class signatures cached; the 32x banded explode is
+        # re-derived lazily per join side (cheap codegen vs caching the
+        # exploded frame)
+        cls_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        cls_sigs.count()
         sigs = _banded_sigs(
             cls_sigs, "rid", 32, 128, extra_cols=("lang", "len_blk", "tsz")
         )
-        sigs.persist()
         ca, cb = sigs.alias("a"), sigs.alias("b")
         # size prefilter: jaccard >= t forces min(|A|,|B|) >= t*max
         # (inter <= min, union >= max, so jac <= min/max) — a NECESSARY
@@ -1094,20 +1111,23 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
             )
         )
         hot_pairs = cross.unionByName(within)
-        return _GuardedRoutes(exact_pairs, hot_pairs, (sigs, base),
+        return _GuardedRoutes(exact_pairs, hot_pairs, (cls_sigs, base),
                               classes=classes, vcls=vcls)
     doc_sigs = minhash_signatures(
         need, "doc_id", tokens_col="toks",
         extra_cols=("lang", "len_blk"),
     )
+    # persist the COMPACT per-doc signature frame and re-derive the
+    # 32x banded explode lazily in each consumer: caching the exploded
+    # frame cost more (columnar build over 32x the rows) than the two
+    # cheap codegen re-explodes, and the eager count stops the reps
+    # window and the candidate probe racing a cold cache into two
+    # duplicate signature-kernel runs (measured at sf1)
+    doc_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    doc_sigs.count()
     sigs = _banded_sigs(
         doc_sigs, "doc_id", 32, 128, extra_cols=("lang", "len_blk")
     )
-    sigs.persist()
-    # eager: the reps window and the candidate probe otherwise race a
-    # cold cache and each re-runs the signature kernel (two identical
-    # 40s-executor-time stages measured at sf1)
-    sigs.count()
     if hot_route == "star" and star_reps <= 1:
         # star candidates: rep = bucket min id, via a PARTITIONED window
         # min over a (doc_id, len_blk) struct (ids are unique, so the
@@ -1163,19 +1183,92 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
         )
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown hot_route {hot_route!r}")
-    ta = base.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-    tb = base.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
-    inter2 = F.size(F.array_intersect("ta", "tb"))
-    union2 = F.size("ta") + F.size("tb") - inter2
-    hot_pairs = (
-        cands.join(ta, "id_a").join(tb, "id_b")
-        .select(
-            "id_a", "id_b",
-            F.when(union2 > 0, inter2 / union2).alias("jaccard"),
+    # star-candidate verify.  Fast path: ship the needs-sig docs' token
+    # sets to the Python workers as a broadcast dictionary (id-coded,
+    # deduplicated by SET so dense template clusters share storage and
+    # a per-batch memo collapses repeated (set, set) intersections) —
+    # candidates only ever pair needs-sig docs, and the counts equal
+    # array_intersect's by construction.  The limit() IS the size
+    # refusal (contamination_report pattern): over the bound, the JVM
+    # hash-join verify below runs instead — identical values, no
+    # broadcast assumption.
+    vrows = (
+        base2.where(
+            (F.col("blk_n_home") > block_cap)
+            | (F.col("blk_n_up") > block_cap)
         )
-        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", F.sort_array("toks").alias("ts"))
+        .limit(_DOC_VERIFY_BROADCAST_MAX + 1)
+        .collect()
     )
-    return _GuardedRoutes(exact_pairs, hot_pairs, (sigs, base))
+    if len(vrows) <= _DOC_VERIFY_BROADCAST_MAX:
+        vocab: dict[str, int] = {}
+        setmap: dict[tuple, int] = {}
+        sets: list[frozenset] = []
+        docmap: dict[int, tuple[int, int]] = {}
+        for r in vrows:
+            key = tuple(r["ts"])
+            sid = setmap.get(key)
+            if sid is None:
+                ids = frozenset(
+                    vocab.setdefault(t, len(vocab)) for t in r["ts"]
+                )
+                sid = len(sets)
+                sets.append(ids)
+                setmap[key] = sid
+            docmap[r["doc_id"]] = (sid, len(r["ts"]))
+        dbc = df.sparkSession.sparkContext.broadcast((docmap, sets))
+
+        def _star_verify(batches):
+            dmap, ss = dbc.value
+            memo: dict[tuple[int, int], int] = {}
+            for pdf in batches:
+                pa = [dmap[a] for a in pdf["id_a"].tolist()]
+                pb = [dmap[b] for b in pdf["id_b"].tolist()]
+                n = len(pdf)
+                inter_n = np.empty(n, np.int32)
+                for i, ((sa_id, _), (sb_id, _)) in enumerate(zip(pa, pb)):
+                    k = (sa_id, sb_id)
+                    v = memo.get(k)
+                    if v is None:
+                        v = len(ss[sa_id] & ss[sb_id])
+                        memo[k] = v
+                    inter_n[i] = v
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                     "inter": inter_n,
+                     "sa": np.fromiter((x[1] for x in pa), np.int32, n),
+                     "sb": np.fromiter((y[1] for y in pb), np.int32, n)}
+                )
+
+        counted = cands.mapInPandas(
+            _star_verify,
+            schema="id_a long, id_b long, inter int, sa int, sb int",
+        )
+        vu = F.col("sa") + F.col("sb") - F.col("inter")
+        hot_pairs = (
+            counted.select(
+                "id_a", "id_b",
+                F.when(vu > 0, F.col("inter") / vu).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    else:
+        ta = base.select(F.col("doc_id").alias("id_a"),
+                         F.col("toks").alias("ta"))
+        tb = base.select(F.col("doc_id").alias("id_b"),
+                         F.col("toks").alias("tb"))
+        inter2 = F.size(F.array_intersect("ta", "tb"))
+        union2 = F.size("ta") + F.size("tb") - inter2
+        hot_pairs = (
+            cands.join(ta, "id_a").join(tb, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.when(union2 > 0, inter2 / union2).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    return _GuardedRoutes(exact_pairs, hot_pairs, (doc_sigs, base))
 
 
 def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
