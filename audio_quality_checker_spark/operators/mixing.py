@@ -48,7 +48,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
-from pyspark.storagelevel import StorageLevel
 
 #: contamination_report refuses to broadcast an eval gram set larger
 #: than this — at that point it is not an "eval suite" any more and the
@@ -312,7 +311,9 @@ def budget_mix(
         .sortWithinPartitions("__ms", "__mh", "__mid")
         .withColumn("__pid", F.spark_partition_id())
     )
-    srt.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not persist: same bounds-pinning, but blocks
+    # are context-cleaned once unreferenced (the round-6 ADVICE leak)
+    srt = srt.localCheckpoint()
     part_sums = (
         srt.groupBy("__pid", "__ms").agg(F.sum("__mw").alias("s")).collect()
     )

@@ -36,7 +36,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
-from pyspark.storagelevel import StorageLevel
 
 
 def shard_by_hash(df: DataFrame, n_shards: int,
@@ -91,7 +90,13 @@ def shard_by_weight(df: DataFrame, n_shards: int,
         .sortWithinPartitions(F.desc("__w"), F.asc("__sid"))
         .withColumn("__pid", F.spark_partition_id())
     )
-    srt.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not persist: it pins the sampled range bounds
+    # across the two jobs the same way, and its blocks are released
+    # by the ContextCleaner once the frame is unreferenced — persist
+    # registered the frame in the CacheManager forever (the round-6
+    # ADVICE leak: repeated calls in a long session accumulate
+    # cached frames no caller holds a handle to)
+    srt = srt.localCheckpoint()
     counts = {
         r["__pid"]: r["n"]
         for r in srt.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -216,7 +216,13 @@ def test_shard_by_weight_has_no_single_partition_funnel(spark):
     plan = fmt(out)
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    # the narrow global sort is either visible as a range exchange or —
+    # since round 7, where the sorted frame is localCheckpoint'ed so its
+    # blocks are context-cleaned instead of leaking in the CacheManager —
+    # as a checkpointed RDD scan (the range shuffle ran at checkpoint
+    # materialization; the no-funnel properties above are unchanged)
+    low = plan.lower()
+    assert "rangepartitioning" in low or "existingrdd" in low, plan
     # the cosmetic twin: shard_balance_report's grand totals ride a
     # broadcast 1-row aggregate, not an empty-partition window
     plan2 = fmt(shard_balance_report(out))
@@ -256,7 +262,9 @@ def test_budget_mix_has_no_window_funnel(spark):
     )
     plan = fmt(budget_mix(df, 300))
     assert "Window" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    # range exchange or checkpointed-RDD scan — see the shard pin above
+    low = plan.lower()
+    assert "rangepartitioning" in low or "existingrdd" in low, plan
 
 
 def test_contamination_corpus_pass_is_map_only(spark):
