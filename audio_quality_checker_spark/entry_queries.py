@@ -2036,7 +2036,7 @@ def q_token_budget_bpe(spark, sf):
         train_bpe,
     )
 
-    d = wload(spark, sf, "documents")
+    d = load(spark, sf, "documents")
     merges = train_bpe(d, vocab_size=384, sample_cap=2_000)
     return bpe_token_counts(d, merges).groupBy("lang").agg(
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
@@ -2394,7 +2394,7 @@ def q_line_dedup(spark, sf):
         remove_boilerplate_lines,
     )
 
-    d = wload(spark, sf, "documents").where(F.col("text").isNotNull())
+    d = load(spark, sf, "documents").where(F.col("text").isNotNull())
     ml = F.array_join(
         F.filter(
             F.array(

@@ -1120,11 +1120,11 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
     # persist the COMPACT per-doc signature frame and re-derive the
     # 32x banded explode lazily in each consumer: caching the exploded
     # frame cost more (columnar build over 32x the rows) than the two
-    # cheap codegen re-explodes, and the eager count stops the reps
-    # window and the candidate probe racing a cold cache into two
-    # duplicate signature-kernel runs (measured at sf1)
+    # cheap codegen re-explodes.  The cache is materialized eagerly in
+    # the verify section below (overlapped with the dictionary collect)
+    # so the reps window and the candidate probe cannot race it cold
+    # into two duplicate signature-kernel runs (measured at sf1).
     doc_sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    doc_sigs.count()
     sigs = _banded_sigs(
         doc_sigs, "doc_id", 32, 128, extra_cols=("lang", "len_blk")
     )
@@ -1192,15 +1192,27 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
     # refusal (contamination_report pattern): over the bound, the JVM
     # hash-join verify below runs instead — identical values, no
     # broadcast assumption.
-    vrows = (
-        base2.where(
-            (F.col("blk_n_home") > block_cap)
-            | (F.col("blk_n_up") > block_cap)
+    # the dictionary collect and the signature materialization above
+    # only share `base` (already cached): overlap them from two driver
+    # threads so the star path pays one round of latency, not two
+    # (guide §2.6 — concurrent independent jobs back-fill the tail)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _collect_vrows():
+        return (
+            base2.where(
+                (F.col("blk_n_home") > block_cap)
+                | (F.col("blk_n_up") > block_cap)
+            )
+            .select("doc_id", F.sort_array("toks").alias("ts"))
+            .limit(_DOC_VERIFY_BROADCAST_MAX + 1)
+            .collect()
         )
-        .select("doc_id", F.sort_array("toks").alias("ts"))
-        .limit(_DOC_VERIFY_BROADCAST_MAX + 1)
-        .collect()
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut = pool.submit(_collect_vrows)
+        doc_sigs.count()
+        vrows = fut.result()
     if len(vrows) <= _DOC_VERIFY_BROADCAST_MAX:
         vocab: dict[str, int] = {}
         setmap: dict[tuple, int] = {}
