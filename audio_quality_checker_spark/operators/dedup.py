@@ -1113,76 +1113,80 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
         hot_pairs = cross.unionByName(within)
         return _GuardedRoutes(exact_pairs, hot_pairs, (cls_sigs, base),
                               classes=classes, vcls=vcls)
-    doc_sigs = minhash_signatures(
-        need, "doc_id", tokens_col="toks",
-        extra_cols=("lang", "len_blk"),
-    )
-    # persist the COMPACT per-doc signature frame and re-derive the
-    # 32x banded explode lazily in each consumer: caching the exploded
-    # frame cost more (columnar build over 32x the rows) than the two
-    # cheap codegen re-explodes.  The cache is materialized eagerly in
-    # the verify section below (overlapped with the dictionary collect)
-    # so the reps window and the candidate probe cannot race it cold
-    # into two duplicate signature-kernel runs (measured at sf1).
-    doc_sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _banded_sigs(
-        doc_sigs, "doc_id", 32, 128, extra_cols=("lang", "len_blk")
-    )
-    if hot_route == "star" and star_reps <= 1:
-        # star candidates: rep = bucket min id, via a PARTITIONED window
-        # min over a (doc_id, len_blk) struct (ids are unique, so the
-        # lexicographic struct min is the min-id row and carries its
-        # length bucket along without a rep-table join-back).  O(bucket)
-        # candidates per bucket instead of the "pairs" route's
-        # O(bucket^2) self-join — the dense-cluster scale path.
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("lang", "band_idx", "band_hash")
-        rep = F.min(F.struct("doc_id", "len_blk")).over(w)
-        cands = (
-            sigs.select("doc_id", "len_blk", rep.alias("rep"))
-            .where(F.col("doc_id") != F.col("rep.doc_id"))
-            .where(F.abs(F.col("len_blk") - F.col("rep.len_blk")) <= 1)
-            .select(
-                F.col("rep.doc_id").alias("id_a"),  # rep is min => id_a < id_b
-                F.col("doc_id").alias("id_b"),
-            )
-            .distinct()
-        )
-    elif hot_route == "star":
-        # K-anchor star: the star_reps smallest-id rows per band bucket
-        # are the bucket's anchors; every co-bucketed doc (incl. the
-        # other anchors) verifies against each.  The rank window is
-        # partitioned per bucket and rank <= K plans as a
-        # WindowGroupLimit (map-side prune to K per bucket before the
-        # exchange); the anchors table is O(buckets * K) narrow rows
-        # joined back on the bucket key — co-partitioned with the
-        # banding shuffle, no broadcast needed.  doc_id > rep_id keeps
-        # each candidate once with id_a < id_b and drops self-pairs.
-        from pyspark.sql import Window as W
-
-        wr = W.partitionBy("lang", "band_idx", "band_hash").orderBy("doc_id")
-        reps = (
-            sigs.withColumn("__rk", F.row_number().over(wr))
-            .where(F.col("__rk") <= star_reps)
-            .select(
-                "lang", "band_idx", "band_hash",
-                F.col("doc_id").alias("rep_id"),
-                F.col("len_blk").alias("rep_blk"),
-            )
-        )
-        cands = (
-            sigs.join(reps, ["lang", "band_idx", "band_hash"])
-            .where(F.col("doc_id") > F.col("rep_id"))
-            .where(F.abs(F.col("len_blk") - F.col("rep_blk")) <= 1)
-            .select(
-                F.col("rep_id").alias("id_a"),
-                F.col("doc_id").alias("id_b"),
-            )
-            .distinct()
-        )
-    else:  # pragma: no cover - caller bug
+    if hot_route != "star":  # pragma: no cover - caller bug
         raise ValueError(f"unknown hot_route {hot_route!r}")
+    # K-anchor star routes, CLASS-COLLAPSED (the same equivalence
+    # argument as the "pairs" route): bucket membership, the
+    # |delta bucket| <= 1 predicate and the verified jaccard are all
+    # invariants of the (lang, bucket, token-set) class — identical
+    # token sets give identical signatures, hence identical band
+    # buckets — and a bucket's K smallest doc ids are always contained
+    # in the union of its classes' K smallest members.  So anchor
+    # selection, the candidate join and the distinct all run over ONE
+    # row per class (dense template buckets collapse 2.5-3.5x in rows,
+    # more in join output), and candidates expand to (anchor, doc)
+    # pairs at the very end — duplicate-free by construction (each doc
+    # belongs to exactly one class), so the former per-doc-pair
+    # distinct disappears.  doc_id > rep_id keeps each candidate once
+    # with id_a < id_b and drops self-pairs, exactly as before.  The
+    # anchor rank window is partitioned per bucket and rank <= K plans
+    # as a WindowGroupLimit (map-side prune to K per bucket before the
+    # exchange).
+    scls = (
+        need.groupBy("lang", "len_blk", F.sort_array("toks").alias("tset"))
+        .agg(
+            F.min("doc_id").alias("rid"),
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        )
+    )
+    scls.persist(StorageLevel.MEMORY_AND_DISK)
+    s_sigs = minhash_signatures(
+        scls.select("rid", "lang", "len_blk", "tset"),
+        "rid", tokens_col="tset", extra_cols=("lang", "len_blk"),
+    )
+    # compact per-class signatures cached; the banded explode is
+    # re-derived lazily per consumer (see the pairs route).  Eagerly
+    # materialized in the verify section below, overlapped with the
+    # dictionary collect.
+    s_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    csigs = _banded_sigs(
+        s_sigs, "rid", 32, 128, extra_cols=("lang", "len_blk")
+    )
+    from pyspark.sql import Window as W
+
+    k_reps = max(1, star_reps)
+    wr = W.partitionBy("lang", "band_idx", "band_hash").orderBy("cand_id")
+    rep_cands = (
+        csigs.join(scls.select("rid", "ids"), "rid")
+        .select(
+            "lang", "band_idx", "band_hash",
+            F.col("len_blk").alias("rep_blk"),
+            F.explode(F.slice("ids", 1, k_reps)).alias("cand_id"),
+        )
+    )
+    reps = (
+        rep_cands.withColumn("__rk", F.row_number().over(wr))
+        .where(F.col("__rk") <= k_reps)
+        .select(
+            "lang", "band_idx", "band_hash",
+            F.col("cand_id").alias("rep_id"), "rep_blk",
+        )
+    )
+    cand_cls = (
+        csigs.join(reps, ["lang", "band_idx", "band_hash"])
+        .where(F.abs(F.col("len_blk") - F.col("rep_blk")) <= 1)
+        .select("rep_id", "rid")
+        .distinct()
+    )
+    cands = (
+        cand_cls.join(scls.select("rid", "ids"), "rid")
+        .select("rep_id", F.explode("ids").alias("doc_id"))
+        .where(F.col("doc_id") > F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+    )
     # star-candidate verify.  Fast path: ship the needs-sig docs' token
     # sets to the Python workers as a broadcast dictionary (id-coded,
     # deduplicated by SET so dense template clusters share storage and
@@ -1211,7 +1215,7 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut = pool.submit(_collect_vrows)
-        doc_sigs.count()
+        s_sigs.count()  # also fills the scls cache it derives from
         vrows = fut.result()
     if len(vrows) <= _DOC_VERIFY_BROADCAST_MAX:
         vocab: dict[str, int] = {}
@@ -1280,7 +1284,7 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
             )
             .where(F.col("jaccard") >= threshold)
         )
-    return _GuardedRoutes(exact_pairs, hot_pairs, (doc_sigs, base))
+    return _GuardedRoutes(exact_pairs, hot_pairs, (s_sigs, scls, base))
 
 
 def jaccard_pairs_guarded(df: DataFrame, id_col: str = "doc_id",
