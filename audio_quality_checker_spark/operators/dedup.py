@@ -121,6 +121,52 @@ def _row_starts(lens: np.ndarray) -> np.ndarray:
     return starts
 
 
+def _ragged_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices for a batch of CSR rows: row j contributes
+    starts[j] .. starts[j]+lens[j]-1, rows laid out consecutively."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(lens)
+    return np.arange(total, dtype=np.int64) + np.repeat(
+        starts - (ends - lens), lens
+    )
+
+
+def _sorted_pair_inter(flat: np.ndarray, starts: np.ndarray,
+                       lens: np.ndarray, ia: np.ndarray,
+                       ib: np.ndarray, vocab_n: int) -> np.ndarray:
+    """Exact per-pair set-intersection SIZES, vectorized across a batch.
+
+    ``flat`` holds every row's SORTED token ids (CSR via starts/lens);
+    pair k compares rows ia[k] and ib[k].  Encoding each token as
+    token_id + k*vocab_n makes both key streams globally sorted by
+    construction (keys are segment-monotone: token_id < vocab_n), so a
+    single searchsorted counts every common token — the same integer
+    counts as a per-pair set intersection, with no per-pair Python.
+    """
+    n = ia.size
+    la, lb = lens[ia], lens[ib]
+    pa = np.repeat(np.arange(n, dtype=np.int64), la)
+    pb = np.repeat(np.arange(n, dtype=np.int64), lb)
+    ka = flat[_ragged_idx(starts[ia], la)] + pa * vocab_n
+    kb = flat[_ragged_idx(starts[ib], lb)] + pb * vocab_n
+    if ka.size == 0 or kb.size == 0:
+        return np.zeros(n, np.int64)
+    pos = np.searchsorted(kb, ka)
+    pos[pos == kb.size] = kb.size - 1
+    hit = kb[pos] == ka
+    return np.bincount(pa[hit], minlength=n)
+
+
+def _sorted_id_csr(sets: "list[np.ndarray]"):
+    """(flat, starts, lens) CSR over a list of sorted id arrays."""
+    lens = np.fromiter((a.size for a in sets), np.int64, len(sets))
+    starts = _row_starts(lens)
+    flat = np.concatenate(sets) if sets else np.empty(0, np.int64)
+    return flat, starts, lens
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 128,
                        shingle_k: int = 5,
@@ -1016,35 +1062,49 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
             # executor time over 94M candidate pairs at sf1 -> ~40 s).
             rows = classes.select("rid", "tset").collect()
             vocab: dict[str, int] = {}
-            csets: dict[int, tuple[frozenset, int]] = {}
+            ridx: dict[int, int] = {}
+            csets: list[np.ndarray] = []
             for r in rows:
-                idv = []
-                for t in r["tset"]:
-                    i = vocab.get(t)
-                    if i is None:
-                        i = len(vocab)
-                        vocab[t] = i
-                    idv.append(i)
-                csets[r["rid"]] = (frozenset(idv), len(idv))
-            cbc = df.sparkSession.sparkContext.broadcast(csets)
+                idv = np.fromiter(
+                    (vocab.setdefault(t, len(vocab)) for t in r["tset"]),
+                    np.int64, len(r["tset"]),
+                )
+                idv.sort()
+                ridx[r["rid"]] = len(csets)
+                csets.append(idv)
+            flat, starts, lens = _sorted_id_csr(csets)
+            cbc = df.sparkSession.sparkContext.broadcast(
+                (ridx, flat, starts, lens, len(vocab) + 1)
+            )
 
             def _verify(batches):
-                s = cbc.value
+                # vectorized sorted-key intersection (guide §4.2): the
+                # old per-pair `frozenset &` loop was ~10-20 us/pair x
+                # ~15M distinct candidate pairs at sf1 — the dominant
+                # cost of the verify stage.  Counts are identical by
+                # construction (exact set intersection on the same
+                # id-coding).
+                ridx_m, flat_m, st_m, ln_m, vn = cbc.value
                 for pdf in batches:
                     n = len(pdf)
                     # plain-int lists: dict probes on python ints are
                     # ~3x the speed of boxed numpy int64 keys
-                    pa = [s[a] for a in pdf["rid_a"].tolist()]
-                    pb = [s[b] for b in pdf["rid_b"].tolist()]
-                    inter_n = np.fromiter(
-                        (len(x[0] & y[0]) for x, y in zip(pa, pb)),
-                        dtype=np.int32, count=n,
+                    ia = np.fromiter(
+                        (ridx_m[a] for a in pdf["rid_a"].tolist()),
+                        np.int64, n,
                     )
-                    sa = np.fromiter((x[1] for x in pa), np.int32, n)
-                    sb = np.fromiter((y[1] for y in pb), np.int32, n)
+                    ib = np.fromiter(
+                        (ridx_m[b] for b in pdf["rid_b"].tolist()),
+                        np.int64, n,
+                    )
+                    inter_n = _sorted_pair_inter(
+                        flat_m, st_m, ln_m, ia, ib, vn
+                    )
                     yield pd.DataFrame(
                         {"rid_a": pdf["rid_a"], "rid_b": pdf["rid_b"],
-                         "inter": inter_n, "sa": sa, "sb": sb}
+                         "inter": inter_n.astype(np.int32),
+                         "sa": ln_m[ia].astype(np.int32),
+                         "sb": ln_m[ib].astype(np.int32)}
                     )
 
             counted = cands.mapInPandas(
@@ -1220,41 +1280,54 @@ def _guarded_routes(df: DataFrame, id_col: str, text_col: str,
     if len(vrows) <= _DOC_VERIFY_BROADCAST_MAX:
         vocab: dict[str, int] = {}
         setmap: dict[tuple, int] = {}
-        sets: list[frozenset] = []
-        docmap: dict[int, tuple[int, int]] = {}
+        sets: list[np.ndarray] = []
+        docmap: dict[int, int] = {}
         for r in vrows:
             key = tuple(r["ts"])
             sid = setmap.get(key)
             if sid is None:
-                ids = frozenset(
-                    vocab.setdefault(t, len(vocab)) for t in r["ts"]
+                ids = np.fromiter(
+                    (vocab.setdefault(t, len(vocab)) for t in r["ts"]),
+                    np.int64, len(r["ts"]),
                 )
+                ids.sort()
                 sid = len(sets)
                 sets.append(ids)
                 setmap[key] = sid
-            docmap[r["doc_id"]] = (sid, len(r["ts"]))
-        dbc = df.sparkSession.sparkContext.broadcast((docmap, sets))
+            docmap[r["doc_id"]] = sid
+        flat, starts, lens = _sorted_id_csr(sets)
+        n_sets = max(1, len(sets))
+        dbc = df.sparkSession.sparkContext.broadcast(
+            (docmap, flat, starts, lens, len(vocab) + 1, n_sets)
+        )
 
         def _star_verify(batches):
-            dmap, ss = dbc.value
-            memo: dict[tuple[int, int], int] = {}
+            # vectorized sorted-key intersection (guide §4.2) at
+            # DISTINCT-(set,set) granularity: dense template clusters
+            # repeat the same set pair across many (anchor, doc)
+            # candidates, so the batch is reduced with np.unique first
+            # (the vectorized form of the old per-pair dict memo) and
+            # the per-unique-pair counts are scattered back.
+            dmap, flat_m, st_m, ln_m, vn, ns = dbc.value
             for pdf in batches:
-                pa = [dmap[a] for a in pdf["id_a"].tolist()]
-                pb = [dmap[b] for b in pdf["id_b"].tolist()]
                 n = len(pdf)
-                inter_n = np.empty(n, np.int32)
-                for i, ((sa_id, _), (sb_id, _)) in enumerate(zip(pa, pb)):
-                    k = (sa_id, sb_id)
-                    v = memo.get(k)
-                    if v is None:
-                        v = len(ss[sa_id] & ss[sb_id])
-                        memo[k] = v
-                    inter_n[i] = v
+                sa_id = np.fromiter(
+                    (dmap[a] for a in pdf["id_a"].tolist()), np.int64, n
+                )
+                sb_id = np.fromiter(
+                    (dmap[b] for b in pdf["id_b"].tolist()), np.int64, n
+                )
+                uniq, inv = np.unique(
+                    sa_id * ns + sb_id, return_inverse=True
+                )
+                inter_u = _sorted_pair_inter(
+                    flat_m, st_m, ln_m, uniq // ns, uniq % ns, vn
+                )
                 yield pd.DataFrame(
                     {"id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                     "inter": inter_n,
-                     "sa": np.fromiter((x[1] for x in pa), np.int32, n),
-                     "sb": np.fromiter((y[1] for y in pb), np.int32, n)}
+                     "inter": inter_u[inv].astype(np.int32),
+                     "sa": ln_m[sa_id].astype(np.int32),
+                     "sb": ln_m[sb_id].astype(np.int32)}
                 )
 
         counted = cands.mapInPandas(
