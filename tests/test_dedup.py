@@ -696,3 +696,37 @@ def test_star_hot_route_membership_recall(spark):
     assert len(got) >= 0.9 * len(pair_members), (len(got), len(pair_members))
     pairs.unpersist()
     members.unpersist()
+
+
+def test_sorted_pair_inter_matches_bruteforce():
+    """The vectorized sorted-key intersection kernel behind the
+    broadcast-dictionary verifies must return the exact set-intersection
+    size for every pair — randomized against per-pair set &."""
+    import numpy as np
+
+    from audio_quality_checker_spark.operators.dedup import (
+        _sorted_id_csr,
+        _sorted_pair_inter,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        nrows = int(rng.integers(1, 25))
+        vocab_n = int(rng.integers(1, 40))
+        sets = []
+        for _ in range(nrows):
+            k = int(rng.integers(0, min(vocab_n, 15) + 1))
+            sets.append(np.sort(
+                rng.choice(vocab_n, size=k, replace=False).astype(np.int64)
+            ))
+        flat, starts, lens = _sorted_id_csr(sets)
+        npairs = int(rng.integers(0, 40))
+        ia = rng.integers(0, nrows, npairs).astype(np.int64)
+        ib = rng.integers(0, nrows, npairs).astype(np.int64)
+        got = _sorted_pair_inter(flat, starts, lens, ia, ib, vocab_n + 1)
+        want = np.array(
+            [len(set(sets[a]) & set(sets[b])) for a, b in zip(ia, ib)],
+            dtype=np.int64,
+        ).reshape(npairs)
+        assert got.shape == want.shape
+        assert (got == want).all()
