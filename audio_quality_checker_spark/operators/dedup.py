@@ -1553,9 +1553,14 @@ def near_dup_members_guarded(df: DataFrame, id_col: str = "doc_id",
     both = routes.exact_pairs.select("id_a", "id_b", "jaccard").unionByName(
         routes.hot_pairs
     )
+    # ONE consumer of `both`: the old two-leg union (select id_a UNION
+    # select id_b) referenced the expensive match subtree twice, so the
+    # exact all-pairs join and the star verify each ran TWICE in the
+    # same job (only the exchanges below them were reused).  Exploding
+    # the two endpoints from a single pass emits the same id multiset
+    # into the same distinct — identical member set, half the compute.
     members = (
-        both.select(F.col("id_a").alias(id_col))
-        .unionByName(both.select(F.col("id_b").alias(id_col)))
+        both.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
         .distinct()
     )
     return _finish_pairs(members, *routes.caches)
